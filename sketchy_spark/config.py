@@ -1,0 +1,80 @@
+"""Frozen sketch/pipeline configuration.
+
+Mirrors the reference's ``SketchParams`` (``/root/reference/src/sketchy.rs:573-600``)
+and CLI defaults (``/root/reference/src/cli.rs:33-48``): k=16, s=1000,
+scale=0.001, seed=0 (42 replicates Mash). Params must match between any two
+compared sketch collections — the reference errors with
+``InvalidSketchMatch`` (``/root/reference/src/sketchy.rs:253-269``); we carry a
+``config_hash`` and assert equality before every pairwise stage
+(:func:`check_compatibility`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+U64 = 1 << 64
+I64_SHIFT = 1 << 63  # order-preserving uint64 -> int64 shift (SURVEY §4.2)
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Binding defaults: k=16, s=1000, scale=0.001, seed=0 (BASELINE.json)."""
+
+    k: int = 16                 # shingle width in bytes (ref: kmer_size, cli.rs:36-37)
+    s: int = 1000               # bottom-s sketch size (ref: sketch_size, cli.rs:33-34)
+    scale: float = 0.001        # fracMinHash scale (ref: cli.rs:39-45)
+    seed: int = 0               # murmur3 seed; 42 replicates Mash (cli.rs:46-48)
+    mode: str = "bottom-s"      # 'bottom-s' (.msh analogue) | 'scaled' (.fsh analogue)
+
+    # --- graft extensions (G1-G5), no reference counterpart ---
+    num_perm: int = 128         # fixed-width k-permutation signature for LSH
+    bands: int = 32             # LSH bands b
+    rows_per_band: int = 4      # LSH rows r; b*r == num_perm
+    jaccard_threshold: float = 0.7   # verification threshold tau
+    simhash_max_hamming: int = 8     # secondary simhash filter on candidates
+    winnow_window: int = 50          # winnowing window (containment fingerprints)
+    containment_threshold: float = 0.9  # |A∩B|/|A| for containment verdict
+    min_content_len: int = 1
+
+    # salting for skewed band keys (SURVEY §4.1)
+    band_skew_cap: int = 2000   # band keys with > cap members get salted/capped
+
+    def __post_init__(self) -> None:
+        if not (0.0 <= self.scale <= 1.0):
+            # mirrors the reference's scale validation (cli.rs:135-143)
+            raise ValueError(f"scale must be in [0, 1], got {self.scale}")
+        if self.k < 1 or self.s < 1:
+            raise ValueError("k and s must be >= 1")
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("bands * rows_per_band must equal num_perm")
+        if self.mode not in ("bottom-s", "scaled"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+    @property
+    def max_hash_u64(self) -> int:
+        """Scaled-mode clamp: keep hash < u64::MAX * scale
+        (ref clamp logic ``src/sketchy.rs:441-457``)."""
+        return int(U64 * self.scale)
+
+    @property
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+class IncompatibleSketchError(ValueError):
+    """Analogue of SketchyError::InvalidSketchMatch (src/sketchy.rs:25-26)."""
+
+
+def check_compatibility(a: SketchConfig, b: SketchConfig) -> None:
+    """Assert two sketch configs are comparable (ref src/sketchy.rs:253-269)."""
+    if a.config_hash != b.config_hash:
+        raise IncompatibleSketchError(
+            f"sketch configs differ: {a.config_hash} != {b.config_hash}"
+        )
+
+
+DEFAULT_CONFIG = SketchConfig()
