@@ -1,0 +1,123 @@
+"""Sketch stage: files -> signatures, one ``mapInPandas`` pass.
+
+The engine's only UDF surface (SURVEY §2.6): everything downstream is
+built-in Spark SQL. Per Arrow batch, one fused numpy pass computes
+shingle -> murmur3 -> {bottom-s | scaled} sketch, k-permutation LSH
+signature, 64-bit SimHash, and winnowing fingerprints — the Spark
+re-expression of the reference's per-file sketch fold
+(``/root/reference/src/sketchy.rs:465-494``, rayon par_iter ->
+partition parallelism; ``:291-302`` single-pass fold -> fused numpy pass).
+
+Column contract (the ``signatures`` table, SURVEY §1.2):
+
+- ``file_id``      string  — name projection, repo/path (src/sketchy.rs:484)
+- ``repo path commit lang`` — carried metadata ("genotype" analogue)
+- ``sha256``       string  — per-row invariant (BASELINE.json input_hint)
+- ``n_bytes``      long    — seq_length analogue (src/sketchy.rs:481)
+- ``n_shingles``   long    — num_valid_kmers analogue
+- ``sig``          array<long> — MinHash sketch, ascending unsigned order
+  stored as shifted int64 (SURVEY §4.2); sorted invariant mirrors
+  src/sketchy.rs:414-418
+- ``sig_perm``     array<long> — fixed-width num_perm signature (LSH, G1)
+- ``simhash``      long    — Charikar fingerprint (G2)
+- ``fingerprints`` array<long> — winnowing minima (containment pass, G3)
+
+Content is intentionally NOT in the output: downstream stages scan a
+narrow table (column pruning at 100 TB scale); verification re-joins
+content for candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sketchy_spark.config import SketchConfig
+from sketchy_spark.hashing import (
+    batch_shingle_hashes,
+    bottom_s,
+    perm_constants,
+    perm_minhash,
+    scaled_filter,
+    simhash_batch,
+    u64_to_i64,
+    winnow,
+)
+
+SIGNATURE_SCHEMA = (
+    "file_id string, repo string, path string, commit string, lang string, "
+    "sha256 string, n_bytes long, n_shingles long, sig array<long>, "
+    "sig_perm array<long>, simhash long, fingerprints array<long>"
+)
+
+_CARRY = ["file_id", "repo", "path", "commit", "lang", "sha256", "n_bytes"]
+
+
+def _sketch_batches(cfg: SketchConfig):
+    a_const, b_const = perm_constants(cfg.num_perm, cfg.seed)
+    max_hash = cfg.max_hash_u64
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = [
+                c.encode("utf-8", "surrogatepass") for c in pdf["content"]
+            ]
+            hashes, counts = batch_shingle_hashes(contents, cfg.k, cfg.seed)
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+
+            sigs, perms, fps, distincts, doffs = [], [], [], [], []
+            pos = 0
+            for o, c in zip(offsets, counts):
+                seg = hashes[o : o + c]
+                distinct = np.unique(seg)  # sorted ascending (the invariant)
+                if cfg.mode == "scaled":
+                    sel = scaled_filter(distinct, max_hash)
+                else:
+                    sel = bottom_s(distinct, cfg.s)
+                sigs.append(u64_to_i64(sel))
+                perms.append(u64_to_i64(perm_minhash(distinct, a_const, b_const)))
+                fps.append(u64_to_i64(winnow(seg, cfg.winnow_window)))
+                distincts.append(distinct)
+                doffs.append(pos)
+                pos += distinct.size
+
+            all_distinct = (
+                np.concatenate(distincts) if pos else np.zeros(0, np.uint64)
+            )
+            sim = simhash_batch(all_distinct, np.array(doffs, dtype=np.int64))
+
+            out = pdf[_CARRY].copy()
+            out["n_shingles"] = counts
+            out["sig"] = sigs
+            out["sig_perm"] = perms
+            out["simhash"] = u64_to_i64(sim)
+            out["fingerprints"] = fps
+            yield out[
+                _CARRY + ["n_shingles", "sig", "sig_perm", "simhash", "fingerprints"]
+            ]
+
+    return fn
+
+
+def sketch_files(files: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """files(repo, path, commit, lang, content) -> signatures DataFrame.
+
+    JVM-side column ops (sha256, lengths, name projection) stay in
+    whole-stage codegen; only the hash kernels cross into the Arrow UDF.
+    """
+    prepared = files.select(
+        F.concat_ws("/", "repo", "path").alias("file_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),  # row invariant
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        "content",
+    )
+    return prepared.mapInPandas(_sketch_batches(cfg), schema=SIGNATURE_SCHEMA)

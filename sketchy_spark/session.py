@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution confs live so the same settings apply in
+tests, bench, and spark-submit. Designed for multi-executor clusters;
+``local[N]`` here is the sandbox proxy (BASELINE.md row 8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sketchy-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SKETCHY_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SKETCHY_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting —
+        # the backstop for hot band keys (SURVEY §4.1)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDFs (the sketch stage) — batch size caps UDF
+        # peak memory per task at 100 TB scale
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # broadcast small dims (metadata joins); AQE may upgrade more
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SKETCHY_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", os.environ.get("SKETCHY_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
