@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (training-data extension).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+sign-LSH bucketing (axis-aligned hyperplanes on the leading dimensions),
+which turns the O(n²) join into an equi-join on bucket key — the same
+candidate-generation idea as the MinHash band join, in embedding space.
+
+All built-in SQL (``aggregate``/``zip_with`` fold for dot products —
+JVM-side, no UDF) so DuckDB oracles can replicate values exactly from the
+same parquet. Cosines are rounded before ranking so ordering is stable
+across engines' float summation order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+COS_EXPR = (
+    "round(aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * y), "
+    "0d, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(a_emb, 0d, (acc, v) -> acc + cast(v as double) * v)) * "
+    " sqrt(aggregate(b_emb, 0d, (acc, v) -> acc + cast(v as double) * v))), 6)"
+)
+
+
+def _sides(emb: DataFrame):
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    return a, b
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, k: int = 3, n_queries: int = 50
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Rank by rounded cosine desc, then neighbor id asc (deterministic).
+    The broadcast of the full collection mirrors the reference's resident
+    reference-sketch scan (src/sketchy.rs:81) — valid while the collection
+    broadcasts; beyond that, use :func:`ann_bucketed`.
+    """
+    a, b = _sides(emb)
+    q = a.where(F.col("a_id") < n_queries)
+    pairs = q.crossJoin(F.broadcast(b)).where(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", F.expr(COS_EXPR).alias("cosine")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("a_id", "b_id", "cosine", "rank")
+    )
+
+
+def sign_bucket_expr(col: str, bits: int) -> str:
+    """Sign-LSH bucket key: bit d set iff embedding[d] > 0, d < bits.
+    Axis-aligned hyperplane LSH — deterministic, engine-agnostic."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, d) -> acc + if(element_at({col}, d + 1) > 0, "
+        f"shiftleft(1L, d), 0L))"
+    )
+
+
+def ann_bucketed(
+    emb: DataFrame, threshold: float = 0.6, bits: int = 12
+) -> DataFrame:
+    """Approximate near-neighbor pairs: candidates share a sign bucket,
+    verified by exact cosine >= threshold.
+
+    The scale path: the self-join is an equi-join on bucket key (shuffle
+    on bucket, skew handled by AQE) instead of a cross join. Recall is
+    partial by design (sign-LSH on ``bits`` leading dims); raising recall
+    = multiple bucket tables with rotated dim subsets, same plan shape.
+    """
+    bucketed = emb.select(
+        "vec_id", "embedding",
+        F.expr(sign_bucket_expr("embedding", bits)).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs) — the
+    embedding-space analogue of the Jaccard verification stage."""
+    a, b = _sides(emb)
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Checkpoint/resume (G6) and incremental-mode (R38 analogue) tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sketchy_spark.checkpoint import STAGES, CheckpointStore, run_pipeline_checkpointed
+from sketchy_spark.config import SketchConfig
+from sketchy_spark.corpus import corpus_df, truth_dup_pairs, truth_pandas
+from sketchy_spark.pipeline import run_pipeline
+from sketchy_spark.streaming.incremental import IncrementalDedup
+
+CFG = SketchConfig()
+N = 600
+
+
+def _pairs(clusters_df):
+    by_c = {}
+    for r in clusters_df.collect():
+        by_c.setdefault(r["cluster_id"], []).append(r["file_id"])
+    out = set()
+    for ms in by_c.values():
+        ms = sorted(ms)
+        out |= {(ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))}
+    return out
+
+
+def test_checkpoint_run_and_resume(spark, tmp_path):
+    files = corpus_df(spark, N).cache()
+    store = CheckpointStore(str(tmp_path / "ckpt"), CFG.config_hash)
+
+    first = run_pipeline_checkpointed(files, CFG, store)
+    assert first["resumed"] == {s: False for s in STAGES}
+    pairs1 = _pairs(first["clusters"])
+
+    # simulate a crash after 'edges': drop later stages, rerun
+    store.invalidate_from(STAGES, "clusters")
+    second = run_pipeline_checkpointed(files, CFG, store)
+    assert second["resumed"]["signatures"] is True
+    assert second["resumed"]["edges"] is True
+    assert second["resumed"]["clusters"] is False
+    assert _pairs(second["clusters"]) == pairs1
+
+    # full resume: everything skipped, identical output
+    third = run_pipeline_checkpointed(files, CFG, store)
+    assert third["resumed"] == {s: True for s in STAGES}
+    assert _pairs(third["clusters"]) == pairs1
+
+
+def test_manifest_lineage(spark, tmp_path):
+    files = corpus_df(spark, 200)
+    store = CheckpointStore(str(tmp_path / "c2"), CFG.config_hash)
+    run_pipeline_checkpointed(files, CFG, store)
+    m = store.manifest("signatures")
+    assert m["status"] == "complete"
+    assert m["rows"] == 200
+    # per-partition lineage present and consistent (G7)
+    assert sum(p["rows"] for p in m["partitions"]) == 200
+    assert m["config_hash"] == CFG.config_hash
+
+
+def test_config_change_invalidates(spark, tmp_path):
+    files = corpus_df(spark, 200)
+    store = CheckpointStore(str(tmp_path / "c3"), CFG.config_hash)
+    run_pipeline_checkpointed(files, CFG, store)
+    other = SketchConfig(seed=42)
+    store2 = CheckpointStore(str(tmp_path / "c3"), other.config_hash)
+    assert not store2.is_complete("signatures")
+
+
+def test_incremental_equals_single_shot(spark, tmp_path):
+    """FIXTURES §3: 5 batches, appended one at a time; clusters after the
+    last batch equal the single-shot run (order-insensitive)."""
+    files = corpus_df(spark, N).cache()
+    single = run_pipeline(files, CFG, with_containment=False)
+    want = _pairs(single.clusters)
+
+    store = CheckpointStore(str(tmp_path / "inc"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    batched = files.withColumn(
+        "batch",
+        F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 5,
+    ).cache()
+    for b in range(5):
+        inc.ingest_batch(b, batched.where(F.col("batch") == b).drop("batch"))
+    got = _pairs(inc.clusters())
+    assert got == want
+
+
+def test_incremental_resume_skips_done_batches(spark, tmp_path):
+    files = corpus_df(spark, 200).cache()
+    store = CheckpointStore(str(tmp_path / "inc2"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    inc.ingest_batch(0, files.limit(100))
+    n_manifests = len(store.manifests())
+    # re-ingesting the same batch is a no-op (resume semantics)
+    inc.ingest_batch(0, files.limit(100))
+    assert len(store.manifests()) == n_manifests
