@@ -41,6 +41,8 @@ class SketchConfig:
 
     # salting for skewed band keys (SURVEY §4.1)
     band_skew_cap: int = 2000   # band keys with > cap members get salted/capped
+    fp_skew_cap: int = 200      # winnow fingerprints shared by > cap docs are
+                                # boilerplate, dropped before the containment join
 
     def __post_init__(self) -> None:
         if not (0.0 <= self.scale <= 1.0):

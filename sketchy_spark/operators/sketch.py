@@ -2,8 +2,9 @@
 
 The engine's only UDF surface (SURVEY §2.6): everything downstream is
 built-in Spark SQL. Per Arrow batch, one fused numpy pass computes
-shingle -> murmur3 -> {bottom-s | scaled} sketch, k-permutation LSH
-signature, 64-bit SimHash, and winnowing fingerprints — the Spark
+shingle -> murmur3 -> {bottom-s | scaled} sketch, OPH LSH signature
+(one-permutation hashing + densification — O(d), not O(d*p)),
+64-bit SimHash, and winnowing fingerprints — the Spark
 re-expression of the reference's per-file sketch fold
 (``/root/reference/src/sketchy.rs:465-494``, rayon par_iter ->
 partition parallelism; ``:291-302`` single-pass fold -> fused numpy pass).
@@ -40,10 +41,9 @@ from sketchy_spark.config import SketchConfig
 from sketchy_spark.hashing import (
     batch_shingle_hashes,
     bottom_s,
-    perm_constants,
-    perm_minhash,
+    oph_minhash,
     scaled_filter,
-    simhash_batch,
+    simhash64,
     u64_to_i64,
     winnow,
 )
@@ -54,11 +54,18 @@ SIGNATURE_SCHEMA = (
     "sig_perm array<long>, simhash long, fingerprints array<long>"
 )
 
+SLIM_SCHEMA = (
+    "file_id string, repo string, path string, commit string, lang string, "
+    "sha256 string, n_bytes long, n_shingles long, "
+    "sig_perm array<long>, simhash long, fingerprints array<long>"
+)
+
 _CARRY = ["file_id", "repo", "path", "commit", "lang", "sha256", "n_bytes"]
 
 
-def _sketch_batches(cfg: SketchConfig):
-    a_const, b_const = perm_constants(cfg.num_perm, cfg.seed)
+def _sketch_batches(
+    cfg: SketchConfig, with_sig: bool = True, with_fp: bool = True
+):
     max_hash = cfg.max_hash_u64
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,45 +77,52 @@ def _sketch_batches(cfg: SketchConfig):
             offsets = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
 
-            sigs, perms, fps, distincts, doffs = [], [], [], [], []
-            pos = 0
+            sigs, perms, fps, sims = [], [], [], []
             for o, c in zip(offsets, counts):
                 seg = hashes[o : o + c]
                 distinct = np.unique(seg)  # sorted ascending (the invariant)
-                if cfg.mode == "scaled":
-                    sel = scaled_filter(distinct, max_hash)
-                else:
-                    sel = bottom_s(distinct, cfg.s)
-                sigs.append(u64_to_i64(sel))
-                perms.append(u64_to_i64(perm_minhash(distinct, a_const, b_const)))
-                fps.append(u64_to_i64(winnow(seg, cfg.winnow_window)))
-                distincts.append(distinct)
-                doffs.append(pos)
-                pos += distinct.size
-
-            all_distinct = (
-                np.concatenate(distincts) if pos else np.zeros(0, np.uint64)
-            )
-            sim = simhash_batch(all_distinct, np.array(doffs, dtype=np.int64))
+                if with_sig:
+                    if cfg.mode == "scaled":
+                        sel = scaled_filter(distinct, max_hash)
+                    else:
+                        sel = bottom_s(distinct, cfg.s)
+                    sigs.append(u64_to_i64(sel))
+                perms.append(u64_to_i64(oph_minhash(distinct, cfg.num_perm)))
+                if with_fp:
+                    fps.append(u64_to_i64(winnow(seg, cfg.winnow_window)))
+                sims.append(simhash64(distinct))
 
             out = pdf[_CARRY].copy()
             out["n_shingles"] = counts
-            out["sig"] = sigs
+            if with_sig:
+                out["sig"] = sigs
             out["sig_perm"] = perms
-            out["simhash"] = u64_to_i64(sim)
-            out["fingerprints"] = fps
-            yield out[
-                _CARRY + ["n_shingles", "sig", "sig_perm", "simhash", "fingerprints"]
-            ]
+            out["simhash"] = u64_to_i64(np.array(sims, dtype=np.uint64))
+            if with_fp:
+                out["fingerprints"] = fps
+            cols = _CARRY + ["n_shingles"]
+            cols += ["sig"] if with_sig else []
+            cols += ["sig_perm", "simhash"]
+            cols += ["fingerprints"] if with_fp else []
+            yield out[cols]
 
     return fn
 
 
-def sketch_files(files: DataFrame, cfg: SketchConfig) -> DataFrame:
+def sketch_files(
+    files: DataFrame, cfg: SketchConfig, with_sig: bool = True,
+    with_fp: bool = True,
+) -> DataFrame:
     """files(repo, path, commit, lang, content) -> signatures DataFrame.
 
     JVM-side column ops (sha256, lengths, name projection) stay in
     whole-stage codegen; only the hash kernels cross into the Arrow UDF.
+
+    ``with_sig=False`` omits the bottom-s ``sig`` column (8 KB/row at
+    s=1000 — the bulk of Arrow transfer and cache footprint). The
+    pipeline's cascade re-sketches just the borderline files with
+    ``with_sig=True``; the full table remains the checkpointed/parity
+    form (SURVEY §1.2).
     """
     prepared = files.select(
         F.concat_ws("/", "repo", "path").alias("file_id"),
@@ -120,4 +134,9 @@ def sketch_files(files: DataFrame, cfg: SketchConfig) -> DataFrame:
         F.octet_length("content").cast("long").alias("n_bytes"),
         "content",
     )
-    return prepared.mapInPandas(_sketch_batches(cfg), schema=SIGNATURE_SCHEMA)
+    schema = SIGNATURE_SCHEMA if with_sig else SLIM_SCHEMA
+    if not with_fp:
+        schema = schema.replace(", fingerprints array<long>", "")
+    return prepared.mapInPandas(
+        _sketch_batches(cfg, with_sig, with_fp), schema=schema
+    )

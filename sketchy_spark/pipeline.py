@@ -26,7 +26,7 @@ from sketchy_spark.operators.sketch import sketch_files
 from sketchy_spark.operators.verify import (
     containment_candidates,
     containment_verified,
-    verified_pairs,
+    verified_pairs_cascade,
 )
 
 
@@ -37,6 +37,16 @@ class PipelineResult:
     verified: DataFrame
     clusters: DataFrame
     containment: DataFrame
+    edges: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release every frame the pipeline persisted (bench hygiene)."""
+        for df in (self.signatures, self.candidates, self.edges):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def run_pipeline(
@@ -48,19 +58,36 @@ def run_pipeline(
     """Run the full dedup pipeline lazily; materialization points are the
     caller's choice (tests collect; bench writes; checkpointed runs go
     through streaming/incremental.py)."""
-    signatures = sketch_files(files, cfg)
+    # Slim sketch pass: the bottom-s sig column (8 KB/row) is only ever
+    # read for borderline pairs, which the cascade re-sketches on demand —
+    # the cached working set stays ~2 KB/row. Winnow fingerprints are
+    # skipped entirely when the containment pass is off.
+    signatures = sketch_files(
+        files, cfg, with_sig=False, with_fp=with_containment
+    )
     if cache_signatures:
         # signatures feed 3+ downstream stages; recomputing the UDF stage
-        # per consumer would triple the dominant cost
+        # per consumer would triple the dominant cost. Materialize EAGERLY:
+        # AQE submits query-stage jobs concurrently, and concurrent
+        # consumers of a lazily-cached frame each run their own duplicate
+        # UDF evaluation (observed: 2x full sketch scans back to back).
         signatures = signatures.cache()
+        signatures.count()
 
     exact = exact_dup_edges(signatures)
-    candidates = candidate_pairs(signatures, cfg)
-    verified = verified_pairs(candidates, signatures, cfg)
+    # candidates feed two broadcast builds in the cascade attach; persist
+    # eagerly so the band groupBy + explode chain runs exactly once
+    candidates = candidate_pairs(signatures, cfg).persist()
+    candidates.count()
+    verified = verified_pairs_cascade(candidates, signatures, cfg, files=files)
 
-    edges = exact.unionByName(
-        verified.select("a_id", "b_id")
-    ).distinct()
+    # persist: connected_components consumes edges twice (size probe +
+    # label pass) — without this the whole verify lineage re-executes
+    edges = (
+        exact.unionByName(verified.select("a_id", "b_id"))
+        .distinct()
+        .persist()
+    )
     clusters = assign_clusters(signatures, edges)
 
     if with_containment:
@@ -73,7 +100,9 @@ def run_pipeline(
                 [], "small_id string, big_id string, containment double"
             )
         )
-    return PipelineResult(signatures, candidates, verified, clusters, cont)
+    return PipelineResult(
+        signatures, candidates, verified, clusters, cont, edges
+    )
 
 
 def cluster_consensus(
