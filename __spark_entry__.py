@@ -221,6 +221,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["planted_verified_pairs"] = planted_verified_pairs
 
+    def predict_topk(s, d):
+        """Flagship 'sketchy predict' analogue: each of 20 query docs
+        ranked against the full reference collection (rows-only: murmur
+        sketches are not SQL-expressible)."""
+        from sketchy_spark.corpus import corpus_df
+        from sketchy_spark.operators.predict import predict
+        from sketchy_spark.operators.sketch import sketch_files
+
+        refs = sketch_files(corpus_df(s, 200), CFG)
+        queries_df = corpus_df(s, 200).limit(20)
+        return predict(queries_df, refs, CFG, top=3)
+
+    q["predict_topk"] = predict_topk
+
+    def sketch_cardinality(s, d):
+        from sketchy_spark.corpus import corpus_df
+        from sketchy_spark.operators.rank import cardinality_estimate
+        from sketchy_spark.operators.sketch import sketch_files
+
+        sigs = sketch_files(corpus_df(s, 300), CFG)
+        return cardinality_estimate(sigs, CFG)
+
+    q["sketch_cardinality"] = sketch_cardinality
+
     def planted_containment(s, d):
         from sketchy_spark.corpus import corpus_df
         from sketchy_spark.pipeline import run_pipeline

@@ -118,6 +118,34 @@ def cumulative_shared(
     )
 
 
+def cardinality_estimate(signatures: DataFrame, cfg) -> DataFrame:
+    """Distinct-shingle cardinality estimate from the sketch alone (R24,
+    src/sketchy.rs:200-205 via finch::statistics::cardinality).
+
+    bottom-s estimator: n ≈ (s-1) * 2^64 / kth_min (k-minimum-values,
+    Bar-Yossef et al.); scaled mode: n ≈ |sketch| / scale. The shifted
+    int64 storage converts back with + 2^63. When a doc has fewer than s
+    distinct shingles the sketch IS the set and the estimate is exact.
+    """
+    sz = F.size("sig")
+    if cfg.mode == "scaled":
+        est = (sz / F.lit(cfg.scale)).cast("double")
+    else:
+        kth_unsigned = (
+            F.element_at("sig", -1).cast("double") + F.lit(float(2**63))
+        )
+        est = F.when(
+            sz < cfg.s, sz.cast("double")  # exact: sketch == full set
+        ).otherwise(
+            (F.lit(float(cfg.s - 1)) * F.lit(float(2**64))) / kth_unsigned
+        )
+    return signatures.select(
+        "file_id",
+        F.col("n_shingles").alias("true_positional"),
+        F.round(est, 2).alias("est_cardinality"),
+    )
+
+
 class MissingMetadataError(ValueError):
     """Analogue of the reference's panic on a missing genotype key
     (src/sketchy.rs:308,:345 — map lookup panics => strict inner join)."""

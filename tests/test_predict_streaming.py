@@ -1,0 +1,161 @@
+"""predict() flagship, cardinality estimate, stateful streaming, and
+alternate sketch configs (scaled mode, Mash seed)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sketchy_spark.config import SketchConfig
+from sketchy_spark.corpus import corpus_df, corpus_pandas
+from sketchy_spark.operators.predict import predict
+from sketchy_spark.operators.rank import cardinality_estimate
+from sketchy_spark.operators.sketch import sketch_files
+
+CFG = SketchConfig()
+
+
+@pytest.fixture(scope="module")
+def refs(spark):
+    return sketch_files(corpus_df(spark, 200), CFG).cache()
+
+
+class TestPredict:
+    def test_self_prediction_top1(self, spark, refs):
+        """A query identical to a reference must rank it #1 with
+        shared == |sig| (docs/index.md:136-150 golden semantics)."""
+        queries = corpus_df(spark, 200).limit(10)
+        out = predict(queries, refs, CFG, top=1)
+        rows = out.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["query_id"] == r["ref_id"]
+            assert r["rank"] == 1
+
+    def test_exploded_equals_broadcast(self, spark, refs):
+        queries = corpus_df(spark, 200).limit(5)
+        a = {
+            (r["query_id"], r["ref_id"], r["shared"])
+            for r in predict(queries, refs, CFG, top=3).collect()
+        }
+        b = {
+            (r["query_id"], r["ref_id"], r["shared"])
+            for r in predict(
+                queries, refs, CFG, top=3, broadcast_refs=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_consensus_requires_odd_top(self, spark, refs):
+        queries = corpus_df(spark, 200).limit(2)
+        with pytest.raises(ValueError, match="odd"):
+            predict(queries, refs, CFG, top=2, consensus=True,
+                    feature_cols=["lang"])
+
+    def test_consensus_majority_lang(self, spark, refs):
+        meta = refs.select("file_id", "lang", "repo")
+        queries = corpus_df(spark, 200).limit(4)
+        out = predict(
+            queries, refs, CFG, top=3, metadata=meta, consensus=True,
+            feature_cols=["lang"],
+        )
+        rows = out.collect()
+        assert len(rows) == 4
+        assert set(out.columns) == {"query_id", "lang"}
+
+
+class TestCardinality:
+    def test_small_docs_exact(self, spark, refs):
+        """Docs with < s distinct shingles: estimate is exact."""
+        est = cardinality_estimate(refs, CFG)
+        small = est.where(F.col("est_cardinality") < CFG.s).collect()
+        assert len(small) > 0
+        # distinct <= positional; KMV noise is a few % so allow 10% slack
+        bad = est.where(
+            F.col("est_cardinality") > F.col("true_positional") * 1.1 + 1
+        ).count()
+        assert bad == 0
+
+    def test_large_doc_estimate_within_bounds(self, spark):
+        """A doc with >> s distinct shingles: KMV estimate within 15%."""
+        import hashlib as _h
+
+        big = " ".join(
+            _h.sha1(str(i).encode()).hexdigest() for i in range(3000)
+        )
+        df = spark.createDataFrame(
+            [("o", "big.py", "c", "py", big)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        sigs = sketch_files(df, CFG)
+        row = cardinality_estimate(sigs, CFG).collect()[0]
+        true_n = row["true_positional"]  # nearly all distinct
+        assert abs(row["est_cardinality"] - true_n) / true_n < 0.15
+
+
+class TestScaledAndMashModes:
+    def test_scaled_mode_pipeline(self, spark):
+        """FracMinHash mode end-to-end: exact dups still cluster."""
+        from sketchy_spark.pipeline import run_pipeline
+
+        cfg = SketchConfig(mode="scaled", scale=0.01)
+        files = corpus_df(spark, 200)
+        res = run_pipeline(files, cfg, with_containment=False)
+        from sketchy_spark.corpus import truth_dup_pairs, truth_pandas
+
+        gold = truth_dup_pairs(truth_pandas(200))
+        by_c = {}
+        for r in res.clusters.collect():
+            by_c.setdefault(r["cluster_id"], []).append(r["file_id"])
+        found = set()
+        for ms in by_c.values():
+            ms = sorted(ms)
+            found |= {
+                (ms[i], ms[j])
+                for i in range(len(ms))
+                for j in range(i + 1, len(ms))
+            }
+        assert len(gold & found) / len(gold) >= 0.99
+
+    def test_mash_seed_42(self, spark):
+        """seed=42 (Mash parity, cli.rs:46-48) produces different but
+        internally consistent sketches."""
+        cfg42 = SketchConfig(seed=42)
+        files = corpus_df(spark, 50)
+        s0 = sketch_files(files, CFG).select("file_id", "sig").collect()
+        s42 = sketch_files(files, cfg42).select("file_id", "sig").collect()
+        m0 = {r["file_id"]: tuple(r["sig"]) for r in s0}
+        m42 = {r["file_id"]: tuple(r["sig"]) for r in s42}
+        assert m0 != m42
+        # same content -> same sketch under each seed
+        assert len(set(m0.values())) == len(set(m42.values()))
+
+
+class TestStatefulStreaming:
+    def test_sum_of_shared_accumulates(self, spark, tmp_path, refs):
+        from sketchy_spark.streaming.stateful import streaming_sum_of_shared
+
+        pdf = corpus_pandas(30)
+        in_dir = tmp_path / "reads"
+        in_dir.mkdir()
+        spark.createDataFrame(pdf.iloc[:15]).coalesce(1).write.parquet(
+            str(in_dir / "b0")
+        )
+        spark.createDataFrame(pdf.iloc[15:]).coalesce(1).write.parquet(
+            str(in_dir / "b1")
+        )
+        small_refs = refs.limit(30)
+        q = streaming_sum_of_shared(
+            spark, str(in_dir / "*"), small_refs, CFG,
+            str(tmp_path / "ck"), output_table="soshare",
+        )
+        q.awaitTermination(300)
+        out = spark.sql(
+            "select ref_id, max(cum_shared) cum_shared, max(n_reads) n "
+            "from soshare group by ref_id"
+        ).collect()
+        assert len(out) > 0
+        # self-matches exist: some ref accumulated >= its own sketch size
+        top = max(r["cum_shared"] for r in out)
+        assert top >= 100
+        # reads counted across both batches for at least one ref
+        assert max(r["n"] for r in out) >= 1
