@@ -292,35 +292,56 @@ def containment_candidates(
     fp = signatures.select(
         "file_id", F.explode("fingerprints").alias("fp")
     )
-    # hot fingerprints (shared license headers / generated code) make the
-    # self-join quadratic and carry no pair-specific containment signal —
-    # drop them, mirroring the band-key skew defense (SURVEY §4.1)
-    hot = (
+    # ONE groupBy over the exploded fingerprints (the plan-shape lesson
+    # from the band join): collect member lists per fingerprint, emit
+    # pairs via pipelined double-explode. Hot fingerprints (shared
+    # license headers / generated code — quadratic, no pair signal) are
+    # excluded by the same size cap inside the aggregate (SURVEY §4.1).
+    groups = (
         fp.groupBy("fp")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > cfg.fp_skew_cap)
-        .select("fp")
+        .agg(F.collect_list("file_id").alias("ids"))
+        .where(F.size("ids") >= 2)  # singleton fps carry no pair signal
+        .persist()
     )
-    fp = fp.join(F.broadcast(hot), "fp", "left_anti").cache()
-    counts = fp.groupBy("file_id").agg(F.count("*").alias("n_fp"))
-    fp = fp.join(counts, "file_id")
-    a = fp.select(
-        F.col("file_id").alias("a_id"), F.col("n_fp").alias("a_nfp"), "fp"
-    )
-    b = fp.select(
-        F.col("file_id").alias("b_id"), F.col("n_fp").alias("b_nfp"), "fp"
-    )
-    shared = (
-        a.join(b, "fp")
+    groups.count()  # eager: two consumers + AQE would double-evaluate
+    pairs = (
+        groups.where(F.size("ids") <= cfg.fp_skew_cap)
+        .select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_nfp", "b_nfp")
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared_fp"))
     )
-    return shared.withColumn(
-        "containment",
-        F.col("shared_fp") / F.least("a_nfp", "b_nfp"),
-    ).where(F.col("containment") >= cfg.containment_threshold).select(
-        "a_id", "b_id", "containment"
+    # retained-fingerprint count per file = total minus hot memberships
+    hot = groups.where(F.size("ids") > cfg.fp_skew_cap).select("fp")
+    n_hot = (
+        fp.join(F.broadcast(hot), "fp")
+        .groupBy("file_id")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    counts = (
+        signatures.select("file_id", F.size("fingerprints").alias("n_all"))
+        .join(n_hot, "file_id", "left")
+        .select(
+            "file_id",
+            (F.col("n_all") - F.coalesce("n_hot", F.lit(0))).alias("n_fp"),
+        )
+    )
+    a_cnt = counts.select(
+        F.col("file_id").alias("a_id"), F.col("n_fp").alias("a_nfp")
+    )
+    b_cnt = counts.select(
+        F.col("file_id").alias("b_id"), F.col("n_fp").alias("b_nfp")
+    )
+    return (
+        pairs.join(a_cnt, "a_id")
+        .join(b_cnt, "b_id")
+        .withColumn(
+            "containment",
+            F.col("shared_fp") / F.greatest(F.least("a_nfp", "b_nfp"), F.lit(1)),
+        )
+        .where(F.col("containment") >= cfg.containment_threshold)
+        .select("a_id", "b_id", "containment")
     )
 
 
