@@ -412,8 +412,8 @@ def oracle_sql() -> dict[str, str]:
         with w as (select doc_id, {_DW} as ws from documents),
         s as (select doc_id, unnest({_SHD}) as shingle from w)
         select doc_id,
-               sum(case when {sh_h} < {int((1 << 60) * 0.001)} then 1 else 0 end)
-                   as n_scaled,
+               cast(sum(case when {sh_h} < {int((1 << 60) * 0.001)}
+                        then 1 else 0 end) as bigint) as n_scaled,
                count(*) as n_shingles
         from s group by 1
     """

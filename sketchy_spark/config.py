@@ -57,9 +57,15 @@ class SketchConfig:
 
     @property
     def max_hash_u64(self) -> int:
-        """Scaled-mode clamp: keep hash < u64::MAX * scale
-        (ref clamp logic ``src/sketchy.rs:441-457``)."""
-        return int(U64 * self.scale)
+        """Scaled-mode clamp: keep hash < u64::MAX / (1/scale as u64) —
+        integer arithmetic exactly as the reference computes it
+        (``src/sketchy.rs:442``: ``u64::max_value() / min_scale.recip() as
+        u64``), so boundary hashes are included/excluded identically.
+        A float ``U64 * scale`` differs by one ulp at the boundary."""
+        if self.scale <= 0.0:
+            return U64 - 1  # scale 0 disables the clamp (ref :441)
+        recip = int(1.0 / self.scale)  # f64 recip truncated, as in Rust
+        return (U64 - 1) // max(recip, 1)
 
     @property
     def config_hash(self) -> str:

@@ -117,6 +117,7 @@ def verified_pairs(
 def verified_pairs_cascade(
     pairs: DataFrame, signatures: DataFrame, cfg: SketchConfig,
     margin: float = 0.15, files: DataFrame | None = None,
+    n_files: int | None = None,
 ) -> DataFrame:
     """Two-stage verification cascade (SURVEY G4: full estimator only for
     borderline pairs).
@@ -127,9 +128,21 @@ def verified_pairs_cascade(
     (binomial error at 4-sigma ~ 1e-5 — negligible vs the 0.99 recall
     budget). Stage 2 runs the bottom-s estimator only on the borderline
     band. Cuts Arrow transfer ~7x (sig_perm is 1KB vs sig's 8KB).
+
+    Small-document guard: OPH rotation densification is biased for docs
+    with fewer shingles than signature slots (A={x}, B={x,y} estimates
+    0.99 vs true 0.5), so any pair where either side has
+    n_shingles < num_perm bypasses BOTH the accept and the reject branch
+    and goes straight to stage-2 exact verification (for such docs the
+    bottom-s sketch is the full set, so stage 2 is exact).
+
+    ``n_files``: pass the already-known signature count (e.g. from the
+    pipeline's eager-cache count) to avoid a second full-table count —
+    each driver barrier is serial time that caps scaling efficiency.
     """
     tau = cfg.jaccard_threshold
     num_perm = cfg.num_perm
+    min_sh = num_perm  # densification-bias bound (see docstring)
     spark = signatures.sparkSession
 
     # Resident-collection strategy (the reference keeps every reference
@@ -137,18 +150,32 @@ def verified_pairs_cascade(
     # the slim signature map fits an executor, ship (file_id -> sig_perm,
     # simhash) as a broadcast variable and evaluate pairs map-side — no
     # attach joins at all. Falls back to scan-side joins beyond the cap.
-    n_files = signatures.count()
-    resident_ok = n_files * (cfg.num_perm * 8 + 16) < 1_500_000_000
+    if n_files is None:
+        n_files = signatures.count()
+    resident_ok = n_files * (cfg.num_perm * 8 + 24) < 1_500_000_000
 
     if resident_ok:
-        slim = signatures.select("file_id", "sig_perm", "simhash").toPandas()
-        sig_mat = np.vstack(slim["sig_perm"].to_numpy()).astype(np.int64)
-        sim_vec = slim["simhash"].to_numpy(dtype=np.int64)
-        index = {f: i for i, f in enumerate(slim["file_id"])}
-        bc = spark.sparkContext.broadcast((index, sig_mat, sim_vec))
+        # Arrow-native collect: flatten the fixed-width sig_perm lists
+        # into an (n, num_perm) int64 matrix zero-copy — no pandas object
+        # column, no per-row vstack (both are serial driver time).
+        tbl = (
+            signatures.select("file_id", "sig_perm", "simhash", "n_shingles")
+            .toArrow()
+            .combine_chunks()
+        )
+        ids = tbl["file_id"].to_pylist()
+        flat = tbl["sig_perm"].chunk(0).flatten() if tbl["sig_perm"].num_chunks else None
+        if flat is not None and len(ids):
+            sig_mat = np.asarray(flat).reshape(len(ids), num_perm)
+        else:
+            sig_mat = np.zeros((0, num_perm), dtype=np.int64)
+        sim_vec = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nsh_vec = tbl["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        index = {f: i for i, f in enumerate(ids)}
+        bc = spark.sparkContext.broadcast((index, sig_mat, sim_vec, nsh_vec))
 
         def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            idx, mat, sim = bc.value
+            idx, mat, sim, nsh = bc.value
             for pdf in batches:
                 n = len(pdf)
                 if n == 0:
@@ -158,15 +185,17 @@ def verified_pairs_cascade(
                 est = (mat[ai] == mat[bi]).sum(axis=1) / num_perm
                 x = sim[ai] ^ sim[bi]
                 ham = _POPCNT8[x.view(np.uint8).reshape(n, 8)].sum(axis=1)
+                small = (nsh[ai] < min_sh) | (nsh[bi] < min_sh)
                 out = pd.DataFrame(
                     {
                         "a_id": pdf["a_id"],
                         "b_id": pdf["b_id"],
                         "jaccard": est,
                         "hamming": ham,
+                        "needs_exact": small,
                     }
                 )
-                yield out[out["jaccard"] >= tau - margin]
+                yield out[small | (est >= tau - margin)]
 
         src = pairs
     else:
@@ -183,27 +212,45 @@ def verified_pairs_cascade(
                     ^ pdf["b_simhash"].to_numpy(dtype=np.int64)
                 )
                 ham = _POPCNT8[x.view(np.uint8).reshape(n, 8)].sum(axis=1)
+                small = (
+                    (pdf["a_n_shingles"].to_numpy(dtype=np.int64) < min_sh)
+                    | (pdf["b_n_shingles"].to_numpy(dtype=np.int64) < min_sh)
+                )
                 out = pd.DataFrame(
                     {
                         "a_id": pdf["a_id"],
                         "b_id": pdf["b_id"],
                         "jaccard": est,
                         "hamming": ham,
+                        "needs_exact": small,
                     }
                 )
-                yield out[out["jaccard"] >= tau - margin]
+                yield out[small | (est >= tau - margin)]
 
-        src = _with_sides(pairs, signatures, ["sig_perm", "simhash"]).select(
-            "a_id", "b_id", "a_sig_perm", "b_sig_perm", "a_simhash", "b_simhash"
+        src = _with_sides(
+            pairs, signatures, ["sig_perm", "simhash", "n_shingles"]
+        ).select(
+            "a_id", "b_id", "a_sig_perm", "b_sig_perm", "a_simhash",
+            "b_simhash", "a_n_shingles", "b_n_shingles",
         )
 
     coarse = src.mapInPandas(
-        stage1, schema="a_id string, b_id string, jaccard double, hamming long"
-    ).persist()  # consumed by accepted + twice by the borderline broadcast
-    accepted = coarse.where(F.col("jaccard") >= tau + margin)
-    borderline = coarse.where(F.col("jaccard") < tau + margin).select(
-        "a_id", "b_id"
-    )
+        stage1,
+        schema=(
+            "a_id string, b_id string, jaccard double, hamming long, "
+            "needs_exact boolean"
+        ),
+    ).persist()
+    # Eager: accepted and the borderline re-sketch broadcast are separate
+    # query stages; AQE materializes them concurrently, and concurrent
+    # consumers of a lazily-persisted frame each run their own evaluation.
+    coarse.count()
+    accepted = coarse.where(
+        (~F.col("needs_exact")) & (F.col("jaccard") >= tau + margin)
+    ).drop("needs_exact")
+    borderline = coarse.where(
+        F.col("needs_exact") | (F.col("jaccard") < tau + margin)
+    ).select("a_id", "b_id")
     if "sig" in signatures.columns:
         sig_source = signatures
     else:

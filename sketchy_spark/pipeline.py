@@ -65,21 +65,25 @@ def run_pipeline(
     signatures = sketch_files(
         files, cfg, with_sig=False, with_fp=with_containment
     )
+    n_files = None
     if cache_signatures:
         # signatures feed 3+ downstream stages; recomputing the UDF stage
         # per consumer would triple the dominant cost. Materialize EAGERLY:
         # AQE submits query-stage jobs concurrently, and concurrent
         # consumers of a lazily-cached frame each run their own duplicate
         # UDF evaluation (observed: 2x full sketch scans back to back).
+        # The count doubles as the cascade's resident-broadcast sizing —
+        # ONE barrier, not two.
         signatures = signatures.cache()
-        signatures.count()
+        n_files = signatures.count()
 
     exact = exact_dup_edges(signatures)
-    # candidates feed two broadcast builds in the cascade attach; persist
-    # eagerly so the band groupBy + explode chain runs exactly once
-    candidates = candidate_pairs(signatures, cfg).persist()
-    candidates.count()
-    verified = verified_pairs_cascade(candidates, signatures, cfg, files=files)
+    # candidates are consumed once by the cascade's stage-1 kernel (whose
+    # output is what gets persisted); no eager barrier needed here
+    candidates = candidate_pairs(signatures, cfg)
+    verified = verified_pairs_cascade(
+        candidates, signatures, cfg, files=files, n_files=n_files
+    )
 
     # persist: connected_components consumes edges twice (size probe +
     # label pass) — without this the whole verify lineage re-executes
