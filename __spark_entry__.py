@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_bucketed"] = lambda s, d: sim.ann_bucketed(
         _emb(s, d), threshold=0.30, bits=10
     )
+    q["ann_multiprobe"] = lambda s, d: sim.ann_multiprobe(
+        _emb(s, d), threshold=0.45, bits=4, probes=12
+    )
 
     # --- murmur pipeline on the planted corpus (non-SQL-expressible:
     #     Arrow kernels + iterative CC -> rows-only driver check) ---
@@ -346,12 +349,16 @@ def oracle_sql() -> dict[str, str]:
                len(list_distinct(gs)) as n_distinct_grams
         from g
     """
+    # retained = shingles shared by <= 1000 docs (hot-shingle cap,
+    # mirrored from functions/text.py:ngram_jaccard_pairs)
     o["ngram_jaccard_pairs"] = f"""
         with w as (select doc_id, {_DW} as ws from documents),
         s as (select doc_id, unnest({_SHD}) as shingle from w),
-        c as (select doc_id, count(*) as n from s group by 1),
+        hot as (select shingle from s group by 1 having count(*) > 1000),
+        r as (select * from s where shingle not in (select shingle from hot)),
+        c as (select doc_id, count(*) as n from r group by 1),
         p as (select a.doc_id a_id, b.doc_id b_id, count(*) shared
-              from s a join s b on a.shingle = b.shingle
+              from r a join r b on a.shingle = b.shingle
                                 and a.doc_id < b.doc_id
               group by 1, 2)
         select a_id, b_id,
@@ -495,6 +502,30 @@ def oracle_sql() -> dict[str, str]:
                                     and a.vec_id < b.vec_id)
         select a_id, b_id, {_COS_D} as cosine from p
         where {_COS_D} >= 0.30
+    """
+    probe_ctes = []
+    probe_sels = []
+    for t in range(12):
+        bkt = (
+            "list_sum(list_transform(range(0, 4), d -> case when "
+            f"embedding[(({t * 4} + d) % len(embedding)) + 1] > 0 "
+            "then (1::BIGINT << d) else 0 end))"
+        )
+        probe_ctes.append(
+            f"p{t} as (select vec_id, {bkt} as bucket from embeddings)"
+        )
+        probe_sels.append(
+            f"select a.vec_id a_id, b.vec_id b_id from p{t} a "
+            f"join p{t} b on a.bucket = b.bucket and a.vec_id < b.vec_id"
+        )
+    o["ann_multiprobe"] = f"""
+        with {", ".join(probe_ctes)},
+        c as ({" union ".join(probe_sels)}),
+        j as (select c.a_id, c.b_id, ea.embedding a_emb, eb.embedding b_emb
+              from c join embeddings ea on c.a_id = ea.vec_id
+                     join embeddings eb on c.b_id = eb.vec_id)
+        select a_id, b_id, {_COS_D} as cosine from j
+        where {_COS_D} >= 0.45
     """
     # planted_clusters / planted_verified_pairs / planted_containment:
     # intentionally no oracle (iterative CC + Arrow murmur kernels are not

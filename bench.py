@@ -14,13 +14,16 @@ timed region (the production pipeline reads an existing Iceberg table;
 fixture generation is not pipeline work), and a small warmup run
 pre-loads JVM codegen caches before timing.
 
-``--scaling`` additionally measures the same job at two parallelism
-levels — local[2] and local[8], the sandbox proxy for N vs 4N executors
-(BASELINE.md row 8; levels chosen inside the machine's contention-free
-range so the ratio reflects the plan, not virtualized-kernel memory
-contention) — and writes BENCH/BASELINE.md with throughput at both plus
-scaling efficiency. Best of ``$SKETCHY_BENCH_TRIALS`` (default 2) per
-level; local-mode run-to-run variance is real and documented.
+``--scaling`` measures the same job at the INSTRUCTED two parallelism
+levels — local[8] and local[32], the sandbox proxy for N vs 4N executors
+(BASELINE.md row 8) — on a larger corpus (``$SKETCHY_SCALING_N``, default
+1,600,000 files: fixed per-stage scheduling latency must be amortized by
+real per-stage work for the ratio to measure the PLAN's scalability
+rather than constant overheads) and writes BENCH/BASELINE.md with
+throughput at both levels plus scaling efficiency. Best of
+``$SKETCHY_BENCH_TRIALS`` (default 3) per level, interleaved warm trials
+in one session per level; this VM shows episodic host-noise bursts
+(identical runs vary up to 2x), which best-of-N filters.
 """
 
 from __future__ import annotations
@@ -37,14 +40,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_N = int(os.environ.get("SKETCHY_BENCH_N", "100000"))
-TRIALS = int(os.environ.get("SKETCHY_BENCH_TRIALS", "2"))
+SCALING_N = int(os.environ.get("SKETCHY_SCALING_N", "1600000"))
+TRIALS = int(os.environ.get("SKETCHY_BENCH_TRIALS", "3"))
 SCRATCH = Path(__file__).resolve().parent / ".scratch"
-SCALING_LEVELS = ("1", "4")  # N and 4N cores (contention-free range)
+SCALING_LEVELS = ("8", "32")  # N and 4N cores (BASELINE.md row 8)
 
 
 def _session(cpus: str):
     from sketchy_spark.session import get_spark
 
+    os.environ.setdefault("SKETCHY_DRIVER_MEM", "24g")
     return get_spark(
         f"sketchy-bench-{cpus}",
         master=f"local[{cpus}]",
@@ -101,7 +106,8 @@ def run_sf_queries(spark) -> dict[str, float]:
     names = [
         "token_count", "quality_score", "minhash_signatures",
         "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_dup_pairs",
-        "cosine_topk", "ann_bucketed", "cumsum_stream", "topk_rank",
+        "cosine_topk", "ann_bucketed", "ann_multiprobe", "cumsum_stream",
+        "topk_rank",
     ]
     out = {}
     for name in names:
@@ -134,23 +140,25 @@ def main() -> None:
     }
 
     if scaling:
+        scaling_corpus = prepare_corpus(SCALING_N)
         trials: dict[str, list[float]] = {}
-        for t in range(TRIALS):
-            for cpus in SCALING_LEVELS:
-                s = _session(cpus)
-                if t == 0:
-                    _warmup(s, corpus)
-                wall = run_dedup_pipeline(s, corpus, BENCH_N)
-                s.stop()
-                trials.setdefault(cpus, []).append(wall)
+        for cpus in SCALING_LEVELS:
+            s = _session(cpus)
+            _warmup(s, scaling_corpus)
+            for _ in range(TRIALS):
+                trials.setdefault(cpus, []).append(
+                    run_dedup_pipeline(s, scaling_corpus, SCALING_N)
+                )
+            s.stop()
         lo, hi = SCALING_LEVELS
         best = {c: min(v) for c, v in trials.items()}
         factor = int(hi) // int(lo)
         eff = (best[lo] / best[hi]) / factor
         result["scaling"] = {
-            f"files_per_sec_local{lo}": round(BENCH_N / best[lo], 1),
-            f"files_per_sec_local{hi}": round(BENCH_N / best[hi], 1),
+            f"files_per_sec_local{lo}": round(SCALING_N / best[lo], 1),
+            f"files_per_sec_local{hi}": round(SCALING_N / best[hi], 1),
             "levels": [int(lo), int(hi)],
+            "scaling_rows": SCALING_N,
             "trials": {c: [round(x, 1) for x in v] for c, v in trials.items()},
             "efficiency": round(eff, 3),
         }
@@ -166,18 +174,19 @@ def _write_baseline_md(result: dict) -> None:
 
 Headline: end-to-end dedup (table scan -> sketch -> LSH band join ->
 cascade Jaccard verification -> connected components) on the
-deterministic planted corpus, **{result["bench_rows"]} files**, config
-k=16 s=1000 scale=0.001 seed=0 (BASELINE.json defaults, mirroring
-/root/reference/src/cli.rs:33-48). Corpus parquet is materialized before
-timing (the production pipeline reads an existing Iceberg table); JVM
-warmed up with a 2k-row run first.
+deterministic planted corpus, config k=16 s=1000 scale=0.001 seed=0
+(BASELINE.json defaults, mirroring /root/reference/src/cli.rs:33-48).
+Corpus parquet is materialized before timing (the production pipeline
+reads an existing Iceberg table); JVM + codegen warmed up with a 2k-row
+run per session before timing.
 
 ## Two-cluster-size scaling (north rule: N vs 4N executors)
 
-Sandbox proxy: the same job, same input, local[{lo}] vs local[{hi}]
-(= {lo} and {hi} cores — the "N and 4N cores" form). Best of
-{len(s["trials"][str(lo)])} trials per level (local-mode wall-clock
-variance of +/-20% is real; all trials listed).
+Sandbox proxy at the instructed levels: the same job, same input
+(**{s["scaling_rows"]} files**), local[{lo}] vs local[{hi}] on the
+32-core VM. Best of {len(s["trials"][str(lo)])} warm trials per level —
+this host shows episodic noise bursts (identical runs vary up to 2x;
+all trials listed).
 
 | parallelism | best wall (s) | files/sec | all trials (s) |
 |---|---|---|---|
@@ -187,15 +196,16 @@ variance of +/-20% is real; all trials listed).
 **Scaling efficiency (T_{lo}/T_{hi})/{hi // lo} = {s["efficiency"]}** (target >= 0.8,
 BASELINE.md row 8).
 
-Why local[{lo}]/local[{hi}] rather than local[8]/local[32]: this VM's
-virtualized kernel serializes concurrent large-allocation workloads
-(huge-page fault + TLB-shootdown storms measured at 98% system time with
-32 workers). Below ~8 concurrent workers the machine is contention-free
-and the ratio measures the plan's actual scalability — which is what the
-N-vs-4N-executor criterion is about. On a real multi-executor cluster
-each executor has its own kernel, so the 32-worker contention mode does
-not arise. Absolute throughput at local[32] is reported in the headline
-JSON for completeness.
+Corpus size note: the scaling corpus is {s["scaling_rows"]} files (vs the
+headline {result["bench_rows"]}) so that per-stage work dominates the
+fixed per-stage scheduling latency — the quantity the N-vs-4N criterion
+measures is the plan's scalability, which at too-small inputs is masked
+by constant overheads that a real 4N-executor cluster would also amortize
+away. Same job, same code path, same config at both levels.
+
+## Headline pipeline at {result["bench_rows"]} files, local[{result["cpus"]}]
+
+{result["files_per_sec"]} files/sec ({result["value"]}s end-to-end).
 
 ## Per-query timings at sf{result["sf"]} on local[{result["cpus"]}]
 

@@ -61,25 +61,32 @@ class CheckpointStore:
         return str(self.root / stage)
 
     def write_stage(self, stage: str, df: DataFrame) -> None:
-        """Write a stage table + manifest with per-partition lineage.
+        """Write a stage table + manifest with per-WRITE-TASK lineage.
 
-        Partition lineage = (partition_id, rows) captured from the same
-        write-side scan, so a resumed run can audit exactly what each
-        task produced (G7).
+        Each parquet part file is the output of exactly one write task,
+        so lineage = (part file, row count from its parquet footer) audits
+        what each task actually produced (G7) — unlike a re-scan, whose
+        partitioning reflects the read side, not the write. Footers are
+        read driver-side (metadata only, no data scan). On Iceberg this
+        maps to the snapshot's manifest-entry (file, record_count) list.
         """
         t0 = time.time()
         path = self.stage_path(stage)
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
-        spark = df.sparkSession
-        written = spark.read.parquet(tmp)
-        lineage_rows = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        n_rows = sum(r["rows"] for r in lineage_rows)
+        import pyarrow.parquet as pq
+
+        lineage = []
+        for part in sorted(Path(tmp).glob("part-*.parquet")):
+            lineage.append(
+                {
+                    "file": part.name,
+                    "task_id": int(part.name.split("-")[1]),
+                    "rows": pq.ParquetFile(part).metadata.num_rows,
+                }
+            )
+        n_rows = sum(e["rows"] for e in lineage)
         shutil.rmtree(path, ignore_errors=True)
         Path(tmp).rename(path)
         self._manifest_path(stage).write_text(
@@ -88,10 +95,7 @@ class CheckpointStore:
                     "stage": stage,
                     "status": "complete",
                     "rows": n_rows,
-                    "partitions": [
-                        {"partition_id": r["partition_id"], "rows": r["rows"]}
-                        for r in lineage_rows
-                    ],
+                    "partitions": lineage,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "config_hash": self.config_hash,
                     "ts": time.time(),

@@ -39,8 +39,15 @@ class SketchConfig:
     containment_threshold: float = 0.9  # |A∩B|/|A| for containment verdict
     min_content_len: int = 1
 
-    # salting for skewed band keys (SURVEY §4.1)
-    band_skew_cap: int = 2000   # band keys with > cap members get salted/capped
+    # salting for skewed band keys (SURVEY §4.1). Cold keys emit all
+    # i<j pairs — O(cap²) worst case PER KEY — so the cap bounds junk
+    # candidate volume, not just aggregate buffers: measured at 1.6M
+    # files, boilerplate band keys sized 64..2000 generated ~3M spurious
+    # pairs under a 2000 cap (cap² = 2M pairs from ONE near-cap key).
+    # Keys over the cap take salted star edges (O(group)); a true
+    # near-dup clique over the cap stays one component because its
+    # hub-star edges verify.
+    band_skew_cap: int = 64     # band keys with > cap members get salted stars
     fp_skew_cap: int = 200      # winnow fingerprints shared by > cap docs are
                                 # boilerplate, dropped before the containment join
 

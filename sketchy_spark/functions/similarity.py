@@ -101,6 +101,65 @@ def ann_bucketed(
     )
 
 
+def sign_bucket_expr_offset(col: str, bits: int, offset: int) -> str:
+    """Sign-LSH bucket over a rotated dim window: bit d reads dimension
+    (offset + d) mod len — each probe table sees a different hyperplane
+    subset (multi-probe sign-LSH)."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, d) -> acc + if(element_at({col}, "
+        f"pmod({offset} + d, size({col})) + 1) > 0, "
+        f"shiftleft(1L, d), 0L))"
+    )
+
+
+def ann_multiprobe(
+    emb: DataFrame, threshold: float = 0.45, bits: int = 4,
+    probes: int = 12,
+) -> DataFrame:
+    """Multi-probe sign-LSH near-neighbor pairs (VERDICT r1 #10): OR of
+    ``probes`` bucket tables, each over a rotated dim window, then exact
+    cosine verification — recall rises with probes while every join stays
+    an equi-join (no crossJoin anywhere).
+
+    Parameter math (choose bits/probes from the target threshold): a pair
+    at cosine c agrees on one sign bit with p = 1 - arccos(c)/pi, lands in
+    the same b-bit bucket with q = p^b, and is caught by at least one of
+    T probes with 1 - (1-q)^T. At c = 0.45 (p ~ 0.65) that needs SHORT
+    buckets: b=4, T=12 gives recall ~ 0.91 (asserted on sf0.01 in
+    tests/test_oracle_parity.py). At dup-detection thresholds (c >= 0.9,
+    p ~ 0.86) b=10, T=10 reaches the same recall with 1024-way buckets —
+    the scale configuration; low thresholds at corpus scale are IVF
+    territory, not LSH.
+    """
+    cands = None
+    for t in range(probes):
+        bucketed = emb.select(
+            "vec_id",
+            F.expr(
+                sign_bucket_expr_offset("embedding", bits, t * bits)
+            ).alias("bucket"),
+        )
+        a = bucketed.select(F.col("vec_id").alias("a_id"), "bucket")
+        b = bucketed.select(F.col("vec_id").alias("b_id"), "bucket")
+        c = (
+            a.join(b, "bucket")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    return (
+        cands.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs) — the
     embedding-space analogue of the Jaccard verification stage."""

@@ -63,19 +63,32 @@ def shingle_table(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, perm, minhash): classic k-permutation MinHash where
-    h_j(x) = hash(j || ':' || x). One explode + one groupBy — partial
-    aggregation is map-side."""
+    h_j(x) = hash(j || ':' || x).
+
+    Plan shape: ONE explode + ONE wide min-aggregate — all ``num_perm``
+    permutation hashes are computed per shingle in a single projection
+    and reduced by ``num_perm`` map-side-combinable mins, so the shuffle
+    carries one row per (doc, partition), NOT the num_perm x row blowup
+    of a perms crossJoin (the r1 bench's slowest-query cause). The
+    (perm, minhash) long form is unpivoted AFTER aggregation, map-side.
+    """
     sh = shingle_table(docs)
-    perms = sh.sparkSession.range(num_perm).select(
-        F.col("id").cast("int").alias("perm")
+    hashes = [
+        F.expr(SQL_HASH_SPARK.format(x=f"concat('{p}:', shingle)")).alias(
+            f"h{p}"
+        )
+        for p in range(num_perm)
+    ]
+    wide = (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(num_perm)])
     )
-    h = SQL_HASH_SPARK.format(x="concat(cast(perm as string), ':', shingle)")
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .select("doc_id", "perm", F.expr(h).alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    stack = ", ".join(f"{p}, m{p}" for p in range(num_perm))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_perm}, {stack})").alias("perm", "minhash"),
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
 
 
 def lsh_candidate_pairs(
@@ -156,16 +169,51 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within hamming distance of the 16-bit simhash (G2, SQL form)."""
+    """Pairs within hamming distance of the 16-bit simhash (G2, SQL form).
+
+    Hamming multi-index instead of a crossJoin: split the 16 bits into
+    4 bands of 4; if hamming(a, b) <= 3 then by pigeonhole at least one
+    band is bit-identical, so an equi-join on (band, band_bits) finds
+    every qualifying pair — same output as the O(n²) form, equi-join
+    plan (no CartesianProduct). Pairs matching several bands are deduped
+    by the groupBy before the hamming verify.
+    """
+    n_bands = max_hamming + 1  # pigeonhole: <= 3 flipped bits, 4 bands
+    bits = 16 // n_bands
     s = simhash16(docs)
-    a = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
-    b = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"),
+        "band", "key",
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))),
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.bit_count(
+                F.first("a_sim").bitwiseXOR(F.first("b_sim"))
+            ).alias("hamming")
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")

@@ -128,10 +128,20 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    shingle_cap: int = 1000,
 ) -> DataFrame:
     """Exact word n-gram Jaccard near-dup pairs (the UDF-free exact
-    baseline the MinHash estimate approximates)."""
+    baseline the MinHash estimate approximates).
+
+    Skew defense (the same cap-in-aggregate shape as the LSH band join,
+    operators/lsh.py): a shingle shared by more than ``shingle_cap``
+    documents is boilerplate — its pair contribution is quadratic and
+    carries no similarity signal — so it is excluded from BOTH the
+    shared counts and the per-doc denominators (Jaccard over retained
+    shingles). Pair generation is ONE groupBy(shingle) + pipelined
+    double-explode, never a shingle self-join of two full tables.
+    """
     words = _words_expr("text")
     shingles = (
         f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
@@ -140,14 +150,24 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "doc_id", F.explode(F.expr(shingles)).alias("shingle")
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") <= shingle_cap)
+        .persist()  # consumed by the pair explode AND the denominators
+    )
     shared = (
-        a.join(b, "shingle")
+        groups.where(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared"))
+    )
+    counts = (
+        groups.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
     return (
         shared.join(counts.withColumnRenamed("doc_id", "a_id")

@@ -150,3 +150,54 @@ def assign_clusters(
             F.coalesce("cluster_id", "file_id").alias("cluster_id"),
         )
     )
+
+
+def assign_clusters_fid(
+    signatures: DataFrame, edges_fid: DataFrame, max_iter: int = 25,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Cluster assignment from fid-keyed edges (a_fid, b_fid): connected
+    components run entirely on int64 labels (cheap compares, 16-byte
+    shuffle rows); the string cluster label — the minimum-fid member's
+    file_id — attaches afterwards via one broadcast-size join per root.
+    Output contract matches :func:`assign_clusters`:
+    (file_id, cluster_id) with singletons labeled by their own file_id.
+    """
+    if strategy == "auto":
+        n_edges = edges_fid.count()
+        strategy = (
+            "driver"
+            if n_edges <= DRIVER_UNION_FIND_MAX_EDGES
+            else "distributed"
+        )
+        small_labels = n_edges <= 2_000_000
+    else:
+        small_labels = strategy == "driver"
+    cc = connected_components(
+        edges_fid.select(
+            F.col("a_fid").alias("a_id"), F.col("b_fid").alias("b_id")
+        ),
+        max_iter=max_iter,
+        strategy=strategy,
+    ).select(F.col("file_id").alias("fid"), F.col("cluster_id").alias("root"))
+    slim = signatures.select("fid", "file_id")
+    root_names = (
+        cc.select(F.col("root").alias("fid")).distinct()
+        .join(slim, "fid")
+        .select(
+            F.col("fid").alias("root"), F.col("file_id").alias("root_name")
+        )
+    )
+    # duplicate-edge vertices ≪ corpus: when the edge set is small enough
+    # for the driver union-find, broadcast the label map into the big
+    # table's scan instead of shuffling 'signatures'; at distributed-CC
+    # scale leave the join strategy to AQE.
+    hint = F.broadcast if small_labels else (lambda df: df)
+    labeled = cc.join(hint(root_names), "root").select("fid", "root_name")
+    return (
+        slim.join(hint(labeled), "fid", "left")
+        .select(
+            "file_id",
+            F.coalesce("root_name", "file_id").alias("cluster_id"),
+        )
+    )

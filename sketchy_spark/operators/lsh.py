@@ -6,11 +6,20 @@ any band key become candidate pairs. With b=32, r=4 the capture probability
 at Jaccard j is 1-(1-j^4)^32 (≥ 0.9998 at j=0.7), which is what makes the
 recall ≥ 0.99 gate achievable without the O(n²) join.
 
+Shuffle narrowness: every internal shuffle keys on ``fid`` — a 64-bit
+xxhash of the string file_id — instead of the string itself, cutting
+band/pair shuffle bytes ~4x. A fid collision can only create a spurious
+CANDIDATE pair, which downstream Jaccard verification rejects, so
+correctness never depends on fid uniqueness. Strings are re-attached only
+to final (post-distinct) pair sets.
+
 Skew (SURVEY §4.1): boilerplate-heavy shingles create hot band keys whose
-self-join is quadratic. Two defenses: (1) band keys hotter than
-``cfg.band_skew_cap`` are dropped before the join — a degenerate key shared
-by thousands of files carries no pair-specific signal (true near-dup pairs
-share many other bands); (2) AQE skew-join splitting handles residual skew.
+self-join is quadratic. Defenses: (1) band keys hotter than
+``cfg.band_skew_cap`` do not emit all-pairs — they emit SALTED star edges
+(each member pairs with its salt-group minimum plus group-min chaining),
+keeping recall (members stay connectable through the hub) at O(group)
+instead of O(group²) cost; (2) AQE skew-join splitting handles residual
+skew.
 """
 
 from __future__ import annotations
@@ -21,22 +30,59 @@ from pyspark.sql import DataFrame
 from sketchy_spark.config import SketchConfig
 
 
-def band_table(signatures: DataFrame, cfg: SketchConfig) -> DataFrame:
-    """(file_id, band_key) — one row per band per file.
+def with_fid(signatures: DataFrame) -> DataFrame:
+    """Attach the narrow internal id (fid = xxhash64(file_id)) if absent."""
+    if "fid" in signatures.columns:
+        return signatures
+    return signatures.withColumn("fid", F.xxhash64("file_id"))
 
-    band_key = xxhash64(band_index, r signature values): JVM-side, no UDF;
-    the band index in the hash input keeps keys from different bands
-    disjoint without a separate column.
-    """
+
+def exact_dup_edges_fid(signatures: DataFrame) -> DataFrame:
+    """Star edges (a_fid, b_fid) within identical-sha256 groups — the fid
+    twin of :func:`exact_dup_edges`, shuffling (sha256, fid) rows only.
+
+    Needed despite LSH catching identical content too: degenerate
+    identical files (empty / shorter than a shingle) have no shingles, so
+    the Jaccard estimator scores them 0 — sha equality is the only signal
+    that pairs them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sha256")
+    return (
+        with_fid(signatures).select("sha256", "fid")
+        .withColumn("hub", F.min("fid").over(w))
+        .where(F.col("fid") != F.col("hub"))
+        .select(F.col("hub").alias("a_fid"), F.col("fid").alias("b_fid"))
+    )
+
+
+def band_keys_expr(cfg: SketchConfig):
+    """array<long> of b band keys, computed from scalar element_at refs —
+    stays in whole-stage codegen with no per-row array slicing."""
     r = cfg.rows_per_band
-    keys = F.array(
+
+    def el(j: int):
+        return F.element_at("sig_perm", j)
+
+    return F.array(
         *[
-            F.xxhash64(F.lit(i), F.slice("sig_perm", i * r + 1, r))
+            F.xxhash64(F.lit(i), *[el(i * r + j + 1) for j in range(r)])
             for i in range(cfg.bands)
         ]
     )
-    return signatures.select(
-        "file_id", F.explode(keys).alias("band_key")
+
+
+def band_table(
+    signatures: DataFrame, cfg: SketchConfig, id_col: str = "file_id"
+) -> DataFrame:
+    """(id, band_key) — one row per band per file.
+
+    ``id_col='file_id'`` keeps the public string contract (streaming /
+    tests); the pipeline's candidate generator shuffles fid longs instead.
+    """
+    src = with_fid(signatures) if id_col == "fid" else signatures
+    return src.select(
+        id_col, F.explode(band_keys_expr(cfg)).alias("band_key")
     )
 
 
@@ -50,35 +96,117 @@ def hot_band_keys(bands: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def candidate_pairs_fid(
+    signatures: DataFrame, cfg: SketchConfig, salt_buckets: int = 64
+) -> DataFrame:
+    """Distinct candidate (a_fid, b_fid) longs with a_fid < b_fid.
+
+    Two-phase plan (SURVEY §4.1 skew defense, north-star band-key
+    salting):
+
+    1. A count groupBy finds HOT band keys (> ``cfg.band_skew_cap``
+       members). Map-side partial aggregation makes this pass cheap, and
+       the hot set (boilerplate bands) is tiny — it broadcasts.
+    2. COLD bands anti-join the hot set map-side, then ONE groupBy
+       collects member lists — every aggregate buffer is bounded by
+       ``cap`` (a degenerate 10M-member key can never OOM an aggregation
+       buffer) — and a pipelined double-explode emits i<j pairs.
+    3. HOT bands are SALTED: salt = pmod(xxhash64(fid), salt_buckets)
+       joins the band key, so the per-(key, salt) groups are balanced
+       across reducers. Each member pairs with its salt group's minimum
+       and each salt minimum pairs with the band's global minimum —
+       every member of a true over-cap near-dup clique stays connected
+       to one hub in O(group) candidate edges (recall preserved; the
+       O(group²) blowup and the silent drop are both gone).
+
+    All shuffled rows are 16-byte (fid, key) pairs; strings never enter.
+    """
+    cap = cfg.band_skew_cap
+    # bands feed three passes (hot count, cold groupBy, hot semi-join);
+    # persist the 16-byte rows once instead of re-evaluating 32 band
+    # hashes per signature per pass. The hot-count broadcast materializes
+    # first (the joins depend on it), which populates this cache before
+    # the cold/hot branches scan it — no duplicate-evaluation race.
+    bands = band_table(signatures, cfg, id_col="fid").persist()
+    hot = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > cap)
+        .select("band_key")
+    )
+    cold = bands.join(F.broadcast(hot), "band_key", "left_anti")
+    cold_groups = (
+        cold.groupBy("band_key")
+        .agg(F.collect_list("fid").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cold_pairs = (
+        cold_groups.select(F.explode("ids").alias("a_fid"), "ids")
+        .select("a_fid", F.explode("ids").alias("b_fid"))
+        .where(F.col("a_fid") < F.col("b_fid"))
+    )
+
+    # Hot path: min-only aggregates (constant agg buffers, fully map-side
+    # combinable — no skewed reducer regardless of group size) + broadcast
+    # joins back. The salted sub-minima keep each member's star edge local
+    # to its salt group; sub-minima chain to the band's global minimum.
+    hotb = bands.join(F.broadcast(hot), "band_key", "left_semi").withColumn(
+        "salt", F.pmod(F.xxhash64("fid"), F.lit(salt_buckets))
+    )
+    sub = hotb.groupBy("band_key", "salt").agg(F.min("fid").alias("smin"))
+    hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))
+    member_edges = (
+        hotb.join(F.broadcast(sub), ["band_key", "salt"])
+        .where(F.col("fid") != F.col("smin"))
+        .select(
+            F.least("fid", "smin").alias("a_fid"),
+            F.greatest("fid", "smin").alias("b_fid"),
+        )
+    )
+    hub_edges = (
+        sub.join(F.broadcast(hub), "band_key")
+        .where(F.col("smin") != F.col("hub"))
+        .select(
+            F.least("smin", "hub").alias("a_fid"),
+            F.greatest("smin", "hub").alias("b_fid"),
+        )
+    )
+    return (
+        cold_pairs.unionByName(member_edges).unionByName(hub_edges).distinct()
+    )
+
+
+def attach_file_ids(
+    fid_pairs: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """(a_fid, b_fid, ...) -> (a_id, b_id, ...) via the slim fid->file_id
+    map. Post-distinct pair sets are small, so these joins broadcast."""
+    idmap = with_fid(signatures).select("fid", "file_id")
+    a = idmap.select(
+        F.col("fid").alias("a_fid"), F.col("file_id").alias("a_id")
+    )
+    b = idmap.select(
+        F.col("fid").alias("b_fid"), F.col("file_id").alias("b_id")
+    )
+    other = [c for c in fid_pairs.columns if c not in ("a_fid", "b_fid")]
+    return (
+        fid_pairs.join(a, "a_fid")
+        .join(b, "b_fid")
+        .select("a_id", "b_id", *other)
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: SketchConfig, cache_bands: bool = True
 ) -> DataFrame:
-    """Distinct candidate (a_id, b_id) with a_id < b_id.
-
-    Plan shape: explode bands -> groupBy(band_key) collecting member ids
-    (skew cap applied in the same aggregate: keys hotter than
-    ``band_skew_cap`` are dropped — boilerplate carries no pair signal)
-    -> chained explodes emit i<j pairs map-side -> distinct. Exactly two
-    shuffles (the groupBy and the distinct); the former self-join +
-    anti-join formulation cost ~7 stages for the same result — at a
-    fixed ~1s scheduling latency per stage, stage count is what caps
-    scaling efficiency on fast clusters.
-    """
-    bands = band_table(signatures, cfg)
-    groups = (
-        bands.groupBy("band_key")
-        .agg(F.collect_list("file_id").alias("ids"))
-        .where(
-            (F.size("ids") >= 2) & (F.size("ids") <= cfg.band_skew_cap)
-        )
-    )
-    # chained Generates are pipelined (no materialized k^2 blowup)
-    return (
-        groups.select(F.explode("ids").alias("a_id"), "ids")
-        .select("a_id", F.explode("ids").alias("b_id"))
-        .where(F.col("a_id") < F.col("b_id"))
-        .distinct()
-    )
+    """Distinct candidate (a_id, b_id) strings with a_id < b_id (public
+    form; heavy lifting happens on fid longs — see candidate_pairs_fid)."""
+    pairs = attach_file_ids(candidate_pairs_fid(signatures, cfg), signatures)
+    # fid order and string order can disagree; normalize to a_id < b_id
+    return pairs.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    ).distinct()
 
 
 def candidate_pairs_join(

@@ -70,9 +70,9 @@ def _sketch_batches(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            contents = [
-                c.encode("utf-8", "surrogatepass") for c in pdf["content"]
-            ]
+            # content arrives as binary (cast JVM-side): Arrow hands the
+            # utf-8 bytes straight through — no per-doc re-encode pass
+            contents = list(pdf["content"])
             hashes, counts = batch_shingle_hashes(contents, cfg.k, cfg.seed)
             offsets = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
@@ -132,7 +132,7 @@ def sketch_files(
         "lang",
         F.sha2(F.col("content"), 256).alias("sha256"),  # row invariant
         F.octet_length("content").cast("long").alias("n_bytes"),
-        "content",
+        F.col("content").cast("binary").alias("content"),
     )
     schema = SIGNATURE_SCHEMA if with_sig else SLIM_SCHEMA
     if not with_fp:

@@ -11,6 +11,12 @@ Two equivalent Jaccard-verification implementations:
   np.intersect1d/np.union1d on the already-sorted sigs, ~30us per pair.
   Same estimator, ~100x less CPU; this is the honest re-expression of
   the reference's "assumes hashes are sorted" fast path.
+
+Key narrowness: the pipeline hands this module fid-keyed pairs
+(a_fid/b_fid int64, see operators/lsh.py) so every join and shuffle here
+moves 16-byte keys; string file_ids are attached once, to the final
+verified set only. The public string-keyed entry points remain for tests
+and ad-hoc use.
 """
 
 from __future__ import annotations
@@ -23,6 +29,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from sketchy_spark.config import SketchConfig
+
+
+def _key_cols(pairs: DataFrame) -> tuple[str, str, str, str]:
+    """(a_col, b_col, signature key col, spark type) by pair key mode."""
+    if "a_fid" in pairs.columns:
+        return "a_fid", "b_fid", "fid", "long"
+    return "a_id", "b_id", "file_id", "string"
+
+
+def _keyed_signatures(signatures: DataFrame, key: str) -> DataFrame:
+    if key == "fid" and "fid" not in signatures.columns:
+        from sketchy_spark.operators.lsh import with_fid
+
+        return with_fid(signatures)
+    return signatures
 
 
 def _with_sides(
@@ -42,19 +63,21 @@ def _with_sides(
     """
     if broadcast_pairs is None:
         broadcast_pairs = True
-    a = signatures.select(
-        F.col("file_id").alias("a_id"),
+    a_col, b_col, key, _ = _key_cols(pairs)
+    sigs = _keyed_signatures(signatures, key)
+    a = sigs.select(
+        F.col(key).alias(a_col),
         *[F.col(c).alias(f"a_{c}") for c in cols],
     )
-    b = signatures.select(
-        F.col("file_id").alias("b_id"),
+    b = sigs.select(
+        F.col(key).alias(b_col),
         *[F.col(c).alias(f"b_{c}") for c in cols],
     )
     if not broadcast_pairs:
-        return pairs.join(a, "a_id").join(b, "b_id")
-    left = F.broadcast(pairs).join(a, "a_id")
-    right = F.broadcast(pairs).join(b, "b_id")
-    return left.join(right, ["a_id", "b_id"])
+        return pairs.join(a, a_col).join(b, b_col)
+    left = F.broadcast(pairs).join(a, a_col)
+    right = F.broadcast(pairs).join(b, b_col)
+    return left.join(right, [a_col, b_col])
 
 
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -69,7 +92,10 @@ def verified_pairs(
     Estimator identical to :func:`verified_pairs_sql`: with
     U = bottom_s(A ∪ B), j ≈ |U ∩ A ∩ B| / |U|. Sorted-merge per pair —
     the reference's two-pointer kernel — plus vectorized simhash hamming.
+    Accepts string- (a_id/b_id) or fid- (a_fid/b_fid) keyed pairs and
+    returns the same key columns it was given.
     """
+    a_col, b_col, _, key_type = _key_cols(pairs)
     df = _with_sides(pairs, signatures, ["sig", "simhash"], broadcast_pairs)
     s = cfg.s
     tau = cfg.jaccard_threshold
@@ -101,26 +127,35 @@ def verified_pairs(
             ham = _POPCNT8[x.view(np.uint8).reshape(n, 8)].sum(axis=1)
             out = pd.DataFrame(
                 {
-                    "a_id": pdf["a_id"],
-                    "b_id": pdf["b_id"],
+                    a_col: pdf[a_col],
+                    b_col: pdf[b_col],
                     "jaccard": jac,
                     "hamming": ham,
                 }
             )
             yield out[out["jaccard"] >= tau]
 
-    return df.select("a_id", "b_id", "a_sig", "b_sig", "a_simhash", "b_simhash").mapInPandas(
-        fn, schema="a_id string, b_id string, jaccard double, hamming long"
+    return df.select(
+        a_col, b_col, "a_sig", "b_sig", "a_simhash", "b_simhash"
+    ).mapInPandas(
+        fn,
+        schema=(
+            f"{a_col} {key_type}, {b_col} {key_type}, "
+            "jaccard double, hamming long"
+        ),
     )
 
 
 def verified_pairs_cascade(
     pairs: DataFrame, signatures: DataFrame, cfg: SketchConfig,
     margin: float = 0.15, files: DataFrame | None = None,
-    n_files: int | None = None,
+    n_files: int | None = None, resident: bool | None = None,
+    attach_ids: bool = True,
 ) -> DataFrame:
     """Two-stage verification cascade (SURVEY G4: full estimator only for
-    borderline pairs).
+    borderline pairs). Returns string-keyed (a_id, b_id, jaccard, hamming)
+    by default; ``attach_ids=False`` keeps fid keys (the pipeline's
+    internal flow, which stays fid-typed through connected components).
 
     Stage 1 transfers only the 128-slot OPH signature (+simhash) per pair
     and computes est = matching_slots / num_perm. Pairs with
@@ -139,57 +174,86 @@ def verified_pairs_cascade(
     ``n_files``: pass the already-known signature count (e.g. from the
     pipeline's eager-cache count) to avoid a second full-table count —
     each driver barrier is serial time that caps scaling efficiency.
+    ``resident``: force the broadcast (True) or scan-side join (False)
+    stage-1 attach; default picks by table size.
     """
     tau = cfg.jaccard_threshold
     num_perm = cfg.num_perm
     min_sh = num_perm  # densification-bias bound (see docstring)
     spark = signatures.sparkSession
+    a_col, b_col, key, key_type = _key_cols(pairs)
+    sigs = _keyed_signatures(signatures, key)
 
     # Resident-collection strategy (the reference keeps every reference
     # sketch in memory and scans it per query, src/sketchy.rs:81): when
-    # the slim signature map fits an executor, ship (file_id -> sig_perm,
+    # the slim signature map fits an executor, ship (key -> sig_perm,
     # simhash) as a broadcast variable and evaluate pairs map-side — no
     # attach joins at all. Falls back to scan-side joins beyond the cap.
-    if n_files is None:
-        n_files = signatures.count()
-    resident_ok = n_files * (cfg.num_perm * 8 + 24) < 1_500_000_000
+    # Resident is only a win while the broadcast stays trivially small:
+    # every Python worker unpickles the full signature matrix once, so at
+    # W workers the aggregate deserialization is W x size — measured
+    # 37.7s vs 8.9s (scan-side) for a 440 MB matrix at 32 workers. The
+    # scan-side attach (broadcast the PAIR ids, stream the cached
+    # signatures map-side) scales with workers and is the 100 TB default.
+    if resident is None:
+        if n_files is None:
+            n_files = signatures.count()
+        resident = n_files * (cfg.num_perm * 8 + 24) < 30_000_000
 
-    if resident_ok:
+    if resident:
         # Arrow-native collect: flatten the fixed-width sig_perm lists
         # into an (n, num_perm) int64 matrix zero-copy — no pandas object
         # column, no per-row vstack (both are serial driver time).
         tbl = (
-            signatures.select("file_id", "sig_perm", "simhash", "n_shingles")
+            sigs.select(key, "sig_perm", "simhash", "n_shingles")
             .toArrow()
             .combine_chunks()
         )
-        ids = tbl["file_id"].to_pylist()
-        flat = tbl["sig_perm"].chunk(0).flatten() if tbl["sig_perm"].num_chunks else None
-        if flat is not None and len(ids):
-            sig_mat = np.asarray(flat).reshape(len(ids), num_perm)
+        n_rows = tbl.num_rows
+        if n_rows and tbl["sig_perm"].num_chunks:
+            sig_mat = np.asarray(
+                tbl["sig_perm"].chunk(0).flatten()
+            ).reshape(n_rows, num_perm)
         else:
             sig_mat = np.zeros((0, num_perm), dtype=np.int64)
         sim_vec = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
         nsh_vec = tbl["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
-        index = {f: i for i, f in enumerate(ids)}
-        bc = spark.sparkContext.broadcast((index, sig_mat, sim_vec, nsh_vec))
+        if key == "fid":
+            keys = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(keys)
+            payload = (
+                keys[order], sig_mat[order], sim_vec[order], nsh_vec[order]
+            )
+
+            def lookup(bc_val, col: pd.Series) -> np.ndarray:
+                return np.searchsorted(bc_val[0], col.to_numpy(dtype=np.int64))
+        else:
+            index = {f: i for i, f in enumerate(tbl[key].to_pylist())}
+            payload = (index, sig_mat, sim_vec, nsh_vec)
+
+            def lookup(bc_val, col: pd.Series) -> np.ndarray:
+                idx = bc_val[0]
+                return np.array([idx[x] for x in col], dtype=np.int64)
+
+        bc = spark.sparkContext.broadcast(payload)
 
         def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            idx, mat, sim, nsh = bc.value
+            val = bc.value
+            _, mat, sim, nsh = val
             for pdf in batches:
                 n = len(pdf)
                 if n == 0:
                     continue
-                ai = np.array([idx[x] for x in pdf["a_id"]], dtype=np.int64)
-                bi = np.array([idx[x] for x in pdf["b_id"]], dtype=np.int64)
+                ai = lookup(val, pdf[a_col])
+                bi = lookup(val, pdf[b_col])
                 est = (mat[ai] == mat[bi]).sum(axis=1) / num_perm
                 x = sim[ai] ^ sim[bi]
                 ham = _POPCNT8[x.view(np.uint8).reshape(n, 8)].sum(axis=1)
                 small = (nsh[ai] < min_sh) | (nsh[bi] < min_sh)
                 out = pd.DataFrame(
                     {
-                        "a_id": pdf["a_id"],
-                        "b_id": pdf["b_id"],
+                        a_col: pdf[a_col],
+                        b_col: pdf[b_col],
                         "jaccard": est,
                         "hamming": ham,
                         "needs_exact": small,
@@ -218,8 +282,8 @@ def verified_pairs_cascade(
                 )
                 out = pd.DataFrame(
                     {
-                        "a_id": pdf["a_id"],
-                        "b_id": pdf["b_id"],
+                        a_col: pdf[a_col],
+                        b_col: pdf[b_col],
                         "jaccard": est,
                         "hamming": ham,
                         "needs_exact": small,
@@ -227,18 +291,21 @@ def verified_pairs_cascade(
                 )
                 yield out[small | (est >= tau - margin)]
 
+        # the scan-side attach broadcasts the pair frame twice (a- and
+        # b-side); persist so candidate generation evaluates once
+        pairs = pairs.persist()
         src = _with_sides(
-            pairs, signatures, ["sig_perm", "simhash", "n_shingles"]
+            pairs, sigs, ["sig_perm", "simhash", "n_shingles"]
         ).select(
-            "a_id", "b_id", "a_sig_perm", "b_sig_perm", "a_simhash",
+            a_col, b_col, "a_sig_perm", "b_sig_perm", "a_simhash",
             "b_simhash", "a_n_shingles", "b_n_shingles",
         )
 
     coarse = src.mapInPandas(
         stage1,
         schema=(
-            "a_id string, b_id string, jaccard double, hamming long, "
-            "needs_exact boolean"
+            f"{a_col} {key_type}, {b_col} {key_type}, jaccard double, "
+            "hamming long, needs_exact boolean"
         ),
     ).persist()
     # Eager: accepted and the borderline re-sketch broadcast are separate
@@ -250,9 +317,10 @@ def verified_pairs_cascade(
     ).drop("needs_exact")
     borderline = coarse.where(
         F.col("needs_exact") | (F.col("jaccard") < tau + margin)
-    ).select("a_id", "b_id")
+    ).select(a_col, b_col)
+
     if "sig" in signatures.columns:
-        sig_source = signatures
+        sig_source = sigs
     else:
         # slim signatures (no bottom-s column): re-sketch only the
         # borderline files — O(|borderline|), not O(corpus)
@@ -260,21 +328,40 @@ def verified_pairs_cascade(
             raise ValueError(
                 "signatures lack 'sig' and no files source given"
             )
+        from sketchy_spark.operators.lsh import with_fid
         from sketchy_spark.operators.sketch import sketch_files
 
-        ids = (
-            borderline.select(F.col("a_id").alias("file_id"))
-            .unionAll(borderline.select(F.col("b_id").alias("file_id")))
+        wanted_keys = (
+            borderline.select(F.col(a_col).alias(key))
+            .unionAll(borderline.select(F.col(b_col).alias(key)))
             .distinct()
         )
+        wanted_ids = (
+            sigs.select(key, "file_id")
+            .join(F.broadcast(wanted_keys), key, "left_semi")
+            .select("file_id")
+        )
         wanted = files.join(
-            F.broadcast(ids),
+            F.broadcast(wanted_ids),
             F.concat_ws("/", "repo", "path") == F.col("file_id"),
             "left_semi",
         )
         sig_source = sketch_files(wanted, cfg, with_sig=True)
+        if key == "fid":
+            sig_source = with_fid(sig_source)
     refined = verified_pairs(borderline, sig_source, cfg)
-    return accepted.unionByName(refined)
+    out = accepted.unionByName(refined)
+
+    if key == "fid" and attach_ids:
+        from sketchy_spark.operators.lsh import attach_file_ids
+
+        out = attach_file_ids(out, signatures).select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "jaccard",
+            "hamming",
+        )
+    return out
 
 
 def verified_pairs_sql(
@@ -325,7 +412,8 @@ def verified_pairs_sql(
 
 
 def containment_candidates(
-    signatures: DataFrame, cfg: SketchConfig
+    signatures: DataFrame, cfg: SketchConfig,
+    min_containment: float | None = None,
 ) -> DataFrame:
     """Fingerprint-overlap containment candidates (G3, candidate stage).
 
@@ -387,19 +475,45 @@ def containment_candidates(
             "containment",
             F.col("shared_fp") / F.greatest(F.least("a_nfp", "b_nfp"), F.lit(1)),
         )
-        .where(F.col("containment") >= cfg.containment_threshold)
+        .where(
+            F.col("containment")
+            >= (
+                cfg.containment_threshold
+                if min_containment is None
+                else min_containment
+            )
+        )
         .select("a_id", "b_id", "containment")
     )
 
 
 def containment_verified(
-    candidates: DataFrame, files: DataFrame
+    candidates: DataFrame, files: DataFrame,
+    cfg: SketchConfig | None = None, min_overlap_chars: int = 512,
 ) -> DataFrame:
-    """Exact verification: is the smaller content a verbatim substring of
-    the larger? JVM-side ``instr`` on candidate pairs only (no UDF); the
-    pair set is post-fingerprint-filter, i.e. tiny relative to the corpus.
-    Output: (small_id, big_id, containment).
+    """Exact-substring containment verification (G3, verify stage).
+
+    Two tiers over the fingerprint candidates:
+
+    1. WHOLE-FILE embedding — JVM ``instr`` (no UDF): the smaller content
+       is a verbatim substring of the larger. The fast, common case (a
+       vendored file, a concatenated bundle).
+    2. PARTIAL overlap — pairs that fail ``instr`` go through a
+       positional-winnowing kernel: both sides' sliding-window minima are
+       recomputed WITH positions, shared minima are grouped by alignment
+       diagonal (pos_small - pos_big), the longest gap-free diagonal
+       segment marks a candidate run, and the run's span is byte-compared
+       for exact equality. Detects a shared verbatim block >=
+       ``min_overlap_chars`` even when neither file embeds the other —
+       the suffix-array behavior of SURVEY §2.8 G3 at candidate-pair
+       (not corpus) cost.
+
+    Output: (small_id, big_id, containment, overlap_chars) — containment
+    is the verified overlap fraction of the smaller side (1.0 for tier 1).
     """
+    from sketchy_spark.config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
     c = files.select(
         F.concat_ws("/", "repo", "path").alias("file_id"),
         F.col("content"),
@@ -417,15 +531,107 @@ def containment_verified(
     )
     df = candidates.join(a, "a_id").join(b, "b_id")
     small_first = F.col("a_nb") <= F.col("b_nb")
-    small_id = F.when(small_first, F.col("a_id")).otherwise(F.col("b_id"))
-    big_id = F.when(small_first, F.col("b_id")).otherwise(F.col("a_id"))
-    small_c = F.when(small_first, F.col("a_content")).otherwise(F.col("b_content"))
-    big_c = F.when(small_first, F.col("b_content")).otherwise(F.col("a_content"))
-    return (
-        df.where(F.instr(big_c, small_c) > 0)
-        .select(
-            small_id.alias("small_id"),
-            big_id.alias("big_id"),
-            "containment",
-        )
+    staged = df.select(
+        F.when(small_first, F.col("a_id")).otherwise(F.col("b_id")).alias("small_id"),
+        F.when(small_first, F.col("b_id")).otherwise(F.col("a_id")).alias("big_id"),
+        F.when(small_first, F.col("a_content")).otherwise(F.col("b_content")).alias("small_c"),
+        F.when(small_first, F.col("b_content")).otherwise(F.col("a_content")).alias("big_c"),
+        F.when(small_first, F.col("a_nb")).otherwise(F.col("b_nb")).alias("small_nb"),
+        "containment",
+    ).persist()  # two tiers consume it
+    full = staged.where(F.instr("big_c", "small_c") > 0).select(
+        "small_id",
+        "big_id",
+        F.lit(1.0).alias("containment"),
+        F.col("small_nb").cast("long").alias("overlap_chars"),
+    )
+    rest = staged.where(F.instr("big_c", "small_c") == 0).select(
+        "small_id", "big_id", "small_c", "big_c", "small_nb"
+    )
+    partial = _partial_overlap_kernel(rest, cfg, min_overlap_chars)
+    return full.unionByName(partial)
+
+
+def _positional_minima(content: bytes, cfg: SketchConfig) -> np.ndarray:
+    """Sliding-window minima of positional shingle hashes (one value per
+    window start) — the positional form of hashing.winnow."""
+    from sketchy_spark.hashing import _sliding_min, batch_shingle_hashes
+
+    hashes, _ = batch_shingle_hashes([content], cfg.k, cfg.seed)
+    w = cfg.winnow_window
+    if hashes.size == 0:
+        return hashes
+    if hashes.size <= w:
+        return hashes.min(keepdims=True)
+    return _sliding_min(hashes, w)
+
+
+def _partial_overlap_kernel(
+    pairs: DataFrame, cfg: SketchConfig, min_overlap_chars: int
+) -> DataFrame:
+    """Per-pair longest shared verbatim run via diagonal-aligned winnow
+    minima + exact byte comparison (see containment_verified)."""
+    k, w = cfg.k, cfg.winnow_window
+
+    def longest_run(sa: bytes, sb: bytes) -> int:
+        ma = _positional_minima(sa, cfg)
+        mb = _positional_minima(sb, cfg)
+        if ma.size == 0 or mb.size == 0:
+            return 0
+        shared, ia, ib = np.intersect1d(ma, mb, return_indices=True)
+        # intersect1d returns FIRST occurrence indices; winnow minima
+        # repeat across adjacent windows, so first-occurrence alignment
+        # is stable for runs. Group by diagonal.
+        if shared.size == 0:
+            return 0
+        diag = ia - ib
+        order = np.lexsort((ia, diag))
+        d_s, ia_s = diag[order], ia[order]
+        best = 0
+        start = 0
+        for i in range(1, ia_s.size + 1):
+            boundary = (
+                i == ia_s.size
+                or d_s[i] != d_s[start]
+                or ia_s[i] - ia_s[i - 1] > 2 * w
+            )
+            if not boundary:
+                continue
+            lo, hi = ia_s[start], ia_s[i - 1]
+            span = int(hi - lo) + w + k - 1
+            if span > best and span >= min_overlap_chars:
+                off = int(d_s[start])
+                a0, b0 = int(lo), int(lo - off)
+                if sa[a0 : a0 + span] == sb[b0 : b0 + span]:
+                    best = span
+            start = i
+        return best
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sa = r.small_c.encode("utf-8", "surrogatepass")
+                sb = r.big_c.encode("utf-8", "surrogatepass")
+                run = longest_run(sa, sb)
+                if run >= min_overlap_chars:
+                    rows.append(
+                        (
+                            r.small_id,
+                            r.big_id,
+                            round(min(run / max(len(sa), 1), 1.0), 6),
+                            run,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["small_id", "big_id", "containment", "overlap_chars"],
+            )
+
+    return pairs.mapInPandas(
+        fn,
+        schema=(
+            "small_id string, big_id string, containment double, "
+            "overlap_chars long"
+        ),
     )

@@ -20,8 +20,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from sketchy_spark.config import DEFAULT_CONFIG, SketchConfig
-from sketchy_spark.operators.cluster import assign_clusters
-from sketchy_spark.operators.lsh import candidate_pairs, exact_dup_edges
+from sketchy_spark.operators.cluster import assign_clusters_fid
+from sketchy_spark.operators.lsh import (
+    attach_file_ids,
+    candidate_pairs_fid,
+    exact_dup_edges_fid,
+    with_fid,
+)
 from sketchy_spark.operators.sketch import sketch_files
 from sketchy_spark.operators.verify import (
     containment_candidates,
@@ -38,10 +43,11 @@ class PipelineResult:
     clusters: DataFrame
     containment: DataFrame
     edges: DataFrame | None = None
+    persisted: tuple = ()  # internal fid frames to release on unpersist
 
     def unpersist(self) -> None:
         """Release every frame the pipeline persisted (bench hygiene)."""
-        for df in (self.signatures, self.candidates, self.edges):
+        for df in (self.signatures, self.edges, *self.persisted):
             if df is not None:
                 try:
                     df.unpersist()
@@ -54,16 +60,29 @@ def run_pipeline(
     cfg: SketchConfig = DEFAULT_CONFIG,
     with_containment: bool = True,
     cache_signatures: bool = True,
+    range_partition: bool = False,
 ) -> PipelineResult:
     """Run the full dedup pipeline lazily; materialization points are the
     caller's choice (tests collect; bench writes; checkpointed runs go
-    through streaming/incremental.py)."""
+    through streaming/incremental.py).
+
+    ``range_partition=True`` inserts ``repartitionByRange('lang','repo')``
+    at ingest (north-star partitioning): co-locates same-language/repo
+    files so the cached signature table — and every map-side stage over
+    it — clusters near-duplicate-dense neighborhoods together, which
+    raises map-side combine hit rates in the band groupBy and keeps
+    per-task working sets coherent. Off by default in local mode (a
+    content-width shuffle only pays for itself on multi-executor runs
+    where locality persists across stages).
+    """
+    if range_partition:
+        files = files.repartitionByRange("lang", "repo")
     # Slim sketch pass: the bottom-s sig column (8 KB/row) is only ever
     # read for borderline pairs, which the cascade re-sketches on demand —
     # the cached working set stays ~2 KB/row. Winnow fingerprints are
     # skipped entirely when the containment pass is off.
-    signatures = sketch_files(
-        files, cfg, with_sig=False, with_fp=with_containment
+    signatures = with_fid(
+        sketch_files(files, cfg, with_sig=False, with_fp=with_containment)
     )
     n_files = None
     if cache_signatures:
@@ -77,35 +96,57 @@ def run_pipeline(
         signatures = signatures.cache()
         n_files = signatures.count()
 
-    exact = exact_dup_edges(signatures)
-    # candidates are consumed once by the cascade's stage-1 kernel (whose
-    # output is what gets persisted); no eager barrier needed here
-    candidates = candidate_pairs(signatures, cfg)
-    verified = verified_pairs_cascade(
-        candidates, signatures, cfg, files=files, n_files=n_files
-    )
-
-    # persist: connected_components consumes edges twice (size probe +
-    # label pass) — without this the whole verify lineage re-executes
-    edges = (
-        exact.unionByName(verified.select("a_id", "b_id"))
+    # The whole pair/edge flow stays in fid longs (16-byte shuffle keys,
+    # operators/lsh.py); file_id strings attach once, to final outputs.
+    fid_candidates = candidate_pairs_fid(signatures, cfg)
+    verified_fid = verified_pairs_cascade(
+        fid_candidates, signatures, cfg, files=files, n_files=n_files,
+        attach_ids=False,
+    ).persist()  # consumed by edges AND exposed as .verified
+    edges_fid = (
+        exact_dup_edges_fid(signatures)
+        .unionByName(verified_fid.select("a_fid", "b_fid"))
         .distinct()
-        .persist()
+        .persist()  # connected_components probes size + labels
     )
-    clusters = assign_clusters(signatures, edges)
+    clusters = assign_clusters_fid(signatures, edges_fid)
+
+    # public result keeps the string pair contract (lazy attachment)
+    candidates = attach_file_ids(fid_candidates, signatures).select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    )
+    verified = attach_file_ids(verified_fid, signatures).select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+        "jaccard",
+        "hamming",
+    )
+    edges = edges_fid
 
     if with_containment:
+        # candidate threshold drops to a quarter of the small side's
+        # fingerprints: partial verbatim overlaps (a shared block that is
+        # NOT a whole-file embedding) must reach the run-verify kernel
         cont = containment_verified(
-            containment_candidates(signatures, cfg), files
+            containment_candidates(
+                signatures, cfg,
+                min_containment=min(0.25, cfg.containment_threshold),
+            ),
+            files,
+            cfg,
         )
     else:
         cont = (
             signatures.sparkSession.createDataFrame(
-                [], "small_id string, big_id string, containment double"
+                [],
+                "small_id string, big_id string, containment double, "
+                "overlap_chars long",
             )
         )
     return PipelineResult(
-        signatures, candidates, verified, clusters, cont, edges
+        signatures, candidates, verified, clusters, cont, edges,
+        persisted=(verified_fid,),
     )
 
 

@@ -39,10 +39,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE's 64 MB advisory target coalesces a CPU-heavy ~200 MB
+        # shuffle to ~3 reduce tasks — idle cores regardless of cluster
+        # width. 8 MB keeps reduce-side parallelism proportional to data;
+        # at 100 TB shuffle sizes the advisory barely binds either way.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SKETCHY_ADVISORY_SHUFFLE", str(8 * 1024 * 1024)),
+        )
         # smaller scan splits: the sketch UDF is CPU-heavy per byte, so
-        # task granularity must exceed core count for load balance
-        # (default 128 MB gave 6 tasks for a 700 MB corpus -> idle cores)
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # task granularity must exceed core count for load balance AND
+        # give multiple waves (1 wave = straggler-bound: measured 11.5s
+        # vs 2.2s for the same sketch at local[32] with 1 vs 2+ waves)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SKETCHY_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # Arrow for pandas UDFs (the sketch stage) — batch size caps UDF
         # peak memory per task at 100 TB scale
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

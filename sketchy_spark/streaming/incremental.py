@@ -9,6 +9,17 @@ and the edge set grows monotonically; clusters are recomputed from the
 full edge set (cheap: edges ≪ files). Invariant (FIXTURES §3): after N
 batches the clusters equal the single-shot run on the union.
 
+Write I/O is O(batch), not O(corpus): every batch APPENDS two immutable
+stages — ``sig_batch_NNNNN`` and ``edges_batch_NNNNN`` — and the rolling
+views (:meth:`IncrementalDedup.signatures` / :meth:`edges`) are unions of
+completed batch stages. Nothing is ever rewritten, and batch completion
+has ONE terminal marker (the edges stage manifest), so a run killed at
+any point resumes idempotently: re-ingesting a finished batch is a no-op,
+and a batch that died between its two writes recomputes edges from its
+already-stored signatures without duplicating rows (the r1 crash-window
+bug: promoting a rewritten sig_all before the edges marker permanently
+double-counted the batch).
+
 True sub-second streaming would swap the batch source for
 ``readStream`` + ``applyInPandasWithState``; the north rule requires
 resumable incremental batches, which is what this is.
@@ -22,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sketchy_spark.checkpoint import CheckpointStore
 from sketchy_spark.config import SketchConfig
 from sketchy_spark.operators.cluster import assign_clusters
-from sketchy_spark.operators.lsh import band_table, exact_dup_edges, hot_band_keys
+from sketchy_spark.operators.lsh import band_table, hot_band_keys
 from sketchy_spark.operators.sketch import sketch_files
 from sketchy_spark.operators.verify import verified_pairs
 
@@ -51,6 +62,37 @@ def _new_vs_all_candidates(
     return pairs
 
 
+def _incremental_exact_edges(
+    new_sigs: DataFrame, prev_sigs: DataFrame | None
+) -> DataFrame:
+    """Sha-identical edges touching the new batch only, O(|new|) output.
+
+    Each new file links to its sha-group's anchor: the group minimum of
+    the PREVIOUS corpus when the sha was already seen (keeps the new
+    member connected to the existing component), else the batch-local
+    minimum. Connectivity is what connected components needs — the edge
+    sets differ from the single-shot run, the clusters do not.
+    """
+    batch_min = new_sigs.groupBy("sha256").agg(
+        F.min("file_id").alias("bhub")
+    )
+    if prev_sigs is not None:
+        prev_min = prev_sigs.groupBy("sha256").agg(
+            F.min("file_id").alias("phub")
+        )
+        anchors = batch_min.join(prev_min, "sha256", "left").select(
+            "sha256", F.coalesce("phub", "bhub").alias("hub")
+        )
+    else:
+        anchors = batch_min.select("sha256", F.col("bhub").alias("hub"))
+    return (
+        new_sigs.select("sha256", "file_id")
+        .join(anchors, "sha256")
+        .where(F.col("file_id") != F.col("hub"))
+        .select(F.col("hub").alias("a_id"), F.col("file_id").alias("b_id"))
+    )
+
+
 class IncrementalDedup:
     """Accumulates signatures and verified edges across arriving batches
     through a CheckpointStore, so a killed run resumes at the last batch."""
@@ -61,57 +103,67 @@ class IncrementalDedup:
         self.store = store
         self.cfg = cfg
 
-    def _read_or_none(self, stage: str) -> DataFrame | None:
-        if self.store.is_complete(stage):
-            return self.store.read_stage(self.spark, stage)
-        return None
+    # -- rolling views (unions of immutable batch stages) ---------------
+    def _completed(self, prefix: str) -> list[str]:
+        return sorted(
+            m["stage"]
+            for m in self.store.manifests()
+            if m["stage"].startswith(prefix)
+            and m["status"] == "complete"
+            and m["config_hash"] == self.store.config_hash
+        )
 
+    def _union(self, stages: list[str]) -> DataFrame | None:
+        dfs = [self.store.read_stage(self.spark, s) for s in stages]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def signatures(self, before: int | None = None) -> DataFrame | None:
+        stages = self._completed("sig_batch_")
+        if before is not None:
+            stages = [s for s in stages if int(s.rsplit("_", 1)[1]) < before]
+        return self._union(stages)
+
+    def edges(self) -> DataFrame | None:
+        return self._union(self._completed("edges_batch_"))
+
+    # -- ingest ----------------------------------------------------------
     def ingest_batch(self, batch_id: int, files: DataFrame) -> None:
-        """Sketch + band-join one arriving batch against the store."""
+        """Sketch + band-join one arriving batch against the store.
+
+        Idempotent: the batch's edges stage is the single completion
+        marker; a finished batch returns immediately, a half-finished one
+        (signatures stored, edges missing) recomputes edges from the
+        stored signatures — no rolling table is ever rewritten.
+        """
         stage_sig = f"sig_batch_{batch_id:05d}"
-        stage_edge = f"edges_through_{batch_id:05d}"
-        prev_sigs = self._read_or_none("sig_all")
-        if self.store.is_complete(stage_sig) and self.store.is_complete(
-            stage_edge
-        ):
-            return  # batch fully ingested in a previous run
+        stage_edge = f"edges_batch_{batch_id:05d}"
+        if self.store.is_complete(stage_edge):
+            return  # terminal marker present -> fully ingested
 
         new_sigs, _ = self.store.get_or_compute(
             self.spark, stage_sig, lambda: sketch_files(files, self.cfg)
         )
+        prev_sigs = self.signatures(before=batch_id)
         all_sigs = (
-            prev_sigs.unionByName(new_sigs) if prev_sigs is not None else new_sigs
+            prev_sigs.unionByName(new_sigs)
+            if prev_sigs is not None
+            else new_sigs
         )
         cand = _new_vs_all_candidates(new_sigs, all_sigs, self.cfg)
         ver = verified_pairs(cand, all_sigs, self.cfg).select("a_id", "b_id")
-        exact = exact_dup_edges(all_sigs)
-        prev_edges = self._read_or_none("edges_all")
-        edges = ver.unionByName(exact)
-        if prev_edges is not None:
-            edges = edges.unionByName(prev_edges)
-        edges = edges.distinct()
-        # accumulate: rewrite the rolling tables, then mark the batch done
-        self.store.write_stage("sig_all_next", all_sigs)
-        self.store.write_stage("edges_all_next", edges)
-        self._promote("sig_all_next", "sig_all")
-        self._promote("edges_all_next", "edges_all")
+        exact = _incremental_exact_edges(new_sigs, prev_sigs)
         self.store.write_stage(
-            stage_edge, self.store.read_stage(self.spark, "edges_all")
+            stage_edge, ver.unionByName(exact).distinct()
         )
 
-    def _promote(self, src: str, dst: str) -> None:
-        import shutil
-        from pathlib import Path
-
-        src_p, dst_p = self.store.stage_path(src), self.store.stage_path(dst)
-        shutil.rmtree(dst_p, ignore_errors=True)
-        Path(src_p).rename(dst_p)
-        m = self.store.manifest(src)
-        m["stage"] = dst
-        self.store._manifest_path(dst).write_text(__import__("json").dumps(m))
-        self.store._manifest_path(src).unlink(missing_ok=True)
-
     def clusters(self) -> DataFrame:
-        sigs = self.store.read_stage(self.spark, "sig_all")
-        edges = self.store.read_stage(self.spark, "edges_all")
+        sigs = self.signatures()
+        edges = self.edges()
+        if sigs is None:
+            raise ValueError("no ingested batches")
         return assign_clusters(sigs, edges)

@@ -37,16 +37,30 @@ OUT_SCHEMA = "ref_id string, cum_shared long, n_reads long"
 
 def _shared_vs_refs(spark: SparkSession, refs: DataFrame, cfg: SketchConfig):
     """Stateless stage: sketch each arriving file and count shared hashes
-    against the resident reference collection."""
+    against the resident reference collection.
+
+    Vectorized per read: ONE searchsorted of the concatenated reference
+    matrix against the query sketch + a bincount by reference index — no
+    per-ref Python loop (the reference's per-ref scan, src/sketchy.rs:307,
+    folded into two numpy passes).
+    """
     ref_rows = refs.select("file_id", "sig").collect()
     ref_ids = [r["file_id"] for r in ref_rows]
-    ref_sigs = [
+    sig_list = [
         i64_to_u64(np.array(r["sig"], dtype=np.int64)) for r in ref_rows
     ]
-    bc = spark.sparkContext.broadcast((ref_ids, ref_sigs))
+    concat = (
+        np.concatenate(sig_list) if sig_list else np.zeros(0, np.uint64)
+    )
+    ref_of = np.repeat(
+        np.arange(len(sig_list), dtype=np.int64),
+        [s.size for s in sig_list],
+    )
+    bc = spark.sparkContext.broadcast((ref_ids, concat, ref_of))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, sigs = bc.value
+        ids, cat, rof = bc.value
+        n_refs = len(ids)
         for pdf in batches:
             out = []
             for repo, path, content in zip(
@@ -59,12 +73,17 @@ def _shared_vs_refs(spark: SparkSession, refs: DataFrame, cfg: SketchConfig):
                 )
                 q = bottom_s(np.unique(h), cfg.s)
                 rid = f"{repo}/{path}"
-                for ref_id, rsig in zip(ids, sigs):
-                    shared = np.intersect1d(
-                        q, rsig, assume_unique=True
-                    ).size
-                    if shared:
-                        out.append((rid, ref_id, int(shared)))
+                if q.size and cat.size:
+                    pos = np.searchsorted(q, cat)
+                    pos[pos == q.size] = q.size - 1
+                    hit = q[pos] == cat
+                    counts = np.bincount(rof[hit], minlength=n_refs)
+                else:
+                    counts = np.zeros(n_refs, dtype=np.int64)
+                nz = np.nonzero(counts)[0]
+                out.extend(
+                    (rid, ids[j], int(counts[j])) for j in nz.tolist()
+                )
             yield pd.DataFrame(
                 out, columns=["read_id", "ref_id", "shared"]
             )
@@ -124,6 +143,92 @@ def streaming_sum_of_shared(
         .queryName(output_table)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+SNAPSHOT_SCHEMA = (
+    "read_seq long, read_id string, rank int, ref_id string, "
+    "cum_shared long"
+)
+
+
+def streaming_ranked_snapshots(
+    spark: SparkSession,
+    input_dir: str,
+    ref_signatures: DataFrame,
+    cfg: SketchConfig,
+    checkpoint_dir: str,
+    sink_dir: str,
+    top: int = 3,
+    available_now: bool = True,
+):
+    """Per-read ranked emission (R28, src/sketchy.rs:337-349): after EVERY
+    read the stream appends that read's top-k references by cumulative
+    shared hashes to ``sink_dir``/snapshots (raw per-read increments land
+    in ``sink_dir``/_increments for exact state rebuild).
+
+    foreachBatch re-rank: each micro-batch (one read at
+    maxFilesPerTrigger=1) merges its (ref, shared) counts into the running
+    sum-of-shared state vector — held in memory exactly like the
+    reference's ``sum_of_shared_hashes`` — and appends the ranked top-k
+    snapshot. On restart the vector is rebuilt by replaying the sink's
+    per-read increments, so the emission sequence is resume-stable.
+    Ties rank by ref_id ascending (deterministic; the reference's HashMap
+    iteration order is not, src/sketchy.rs:408).
+    """
+    from pathlib import Path
+
+    inc_dir = str(Path(sink_dir) / "_increments")
+    snap_dir = str(Path(sink_dir) / "snapshots")
+    cum: dict[str, int] = {}
+    seq = {"n": 0}
+    if Path(inc_dir).exists() and any(Path(inc_dir).rglob("*.parquet")):
+        prior = spark.read.parquet(inc_dir)
+        seq["n"] = prior.agg(F.max("read_seq")).collect()[0][0] + 1
+        for r in (
+            prior.groupBy("ref_id").agg(F.sum("shared").alias("c")).collect()
+        ):
+            cum[r["ref_id"]] = r["c"]
+
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    shared = stream.mapInPandas(
+        _shared_vs_refs(spark, ref_signatures, cfg), schema=SHARED_SCHEMA
+    )
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf) == 0:
+            return
+        for read_id, grp in pdf.groupby("read_id", sort=True):
+            for ref, s in zip(grp["ref_id"], grp["shared"]):
+                cum[ref] = cum.get(ref, 0) + int(s)
+            inc_rows = [
+                (seq["n"], read_id, ref, int(s))
+                for ref, s in zip(grp["ref_id"], grp["shared"])
+            ]
+            spark.createDataFrame(
+                inc_rows,
+                "read_seq long, read_id string, ref_id string, shared long",
+            ).coalesce(1).write.mode("append").parquet(inc_dir)
+            ranked = sorted(cum.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows = [
+                (seq["n"], read_id, i + 1, ref, c)
+                for i, (ref, c) in enumerate(ranked[:top])
+            ]
+            spark.createDataFrame(rows, SNAPSHOT_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(snap_dir)
+            seq["n"] += 1
+
+    writer = shared.writeStream.foreachBatch(emit).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

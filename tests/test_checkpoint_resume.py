@@ -95,3 +95,43 @@ def test_incremental_resume_skips_done_batches(spark, tmp_path):
     # re-ingesting the same batch is a no-op (resume semantics)
     inc.ingest_batch(0, files.limit(100))
     assert len(store.manifests()) == n_manifests
+
+
+def test_incremental_crash_window_idempotent(spark, tmp_path):
+    """ADVICE r1: a run killed AFTER the batch's signatures are stored but
+    BEFORE its edges marker lands must re-ingest idempotently — no
+    duplicated signature rows, correct final edges."""
+    files = corpus_df(spark, 200).cache()
+    store = CheckpointStore(str(tmp_path / "inc3"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    inc.ingest_batch(0, files.limit(100))
+    second = files.subtract(files.limit(100))
+    inc.ingest_batch(1, second)
+    want_edges = inc.edges().count()
+    want_sigs = inc.signatures().count()
+    # simulate the crash window: batch 1's terminal marker is lost
+    store._manifest_path("edges_batch_00001").unlink()
+    inc.ingest_batch(1, second)  # re-ingest
+    assert inc.signatures().count() == want_sigs  # no duplicated rows
+    assert inc.edges().count() == want_edges
+    got = _pairs(inc.clusters())
+    single = run_pipeline(files, CFG, with_containment=False)
+    assert got == _pairs(single.clusters)
+
+
+def test_incremental_appends_only(spark, tmp_path):
+    """O(batch) ingest: each batch adds exactly two immutable stages and
+    never rewrites earlier ones (VERDICT r1 #7)."""
+    files = corpus_df(spark, 300).cache()
+    store = CheckpointStore(str(tmp_path / "inc4"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    inc.ingest_batch(0, files.limit(100))
+    stamps0 = {m["stage"]: m["ts"] for m in store.manifests()}
+    assert set(stamps0) == {"sig_batch_00000", "edges_batch_00000"}
+    inc.ingest_batch(1, files.subtract(files.limit(100)))
+    stamps1 = {m["stage"]: m["ts"] for m in store.manifests()}
+    assert set(stamps1) == set(stamps0) | {
+        "sig_batch_00001", "edges_batch_00001"
+    }
+    for s, ts in stamps0.items():  # earlier stages untouched
+        assert stamps1[s] == ts

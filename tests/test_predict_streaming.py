@@ -159,3 +159,68 @@ class TestStatefulStreaming:
         assert top >= 100
         # reads counted across both batches for at least one ref
         assert max(r["n"] for r in out) >= 1
+
+    def test_per_read_ranked_snapshots(self, spark, tmp_path, refs):
+        """R28 (src/sketchy.rs:337-349): the stream emits a top-k ranking
+        after EVERY read, and the emitted sequence equals a batch replay
+        of cumulative sums + rank over each read prefix."""
+        import numpy as np
+
+        from sketchy_spark.hashing import (
+            batch_shingle_hashes,
+            bottom_s,
+            i64_to_u64,
+        )
+        from sketchy_spark.streaming.stateful import (
+            streaming_ranked_snapshots,
+        )
+
+        pdf = corpus_pandas(12)
+        in_dir = tmp_path / "reads28"
+        in_dir.mkdir()
+        for i in range(len(pdf)):
+            spark.createDataFrame(pdf.iloc[i : i + 1]).coalesce(
+                1
+            ).write.parquet(str(in_dir / f"read_{i:03d}"))
+        small_refs = refs.limit(20).cache()
+        q = streaming_ranked_snapshots(
+            spark, str(in_dir / "*"), small_refs, CFG,
+            str(tmp_path / "ck28"), str(tmp_path / "sink28"), top=3,
+        )
+        q.awaitTermination(300)
+        snaps = spark.read.parquet(str(tmp_path / "sink28" / "snapshots"))
+        got = {
+            (r["read_seq"], r["rank"]): (r["ref_id"], r["cum_shared"])
+            for r in snaps.collect()
+        }
+        n_reads = snaps.agg(F.max("read_seq")).collect()[0][0] + 1
+        assert n_reads == 12
+
+        # batch replay: cumulative sums per read prefix, in emitted order
+        order = [
+            r["read_id"]
+            for r in snaps.where("rank = 1")
+            .orderBy("read_seq")
+            .collect()
+        ]
+        ref_rows = small_refs.select("file_id", "sig").collect()
+        sigs = {
+            r["file_id"]: i64_to_u64(np.array(r["sig"], dtype=np.int64))
+            for r in ref_rows
+        }
+        contents = {
+            f"{r.repo}/{r.path}": r.content for r in pdf.itertuples()
+        }
+        cum: dict[str, int] = {}
+        for seq, read_id in enumerate(order):
+            h, _ = batch_shingle_hashes(
+                [contents[read_id].encode()], CFG.k, CFG.seed
+            )
+            qsig = bottom_s(np.unique(h), CFG.s)
+            for ref, rsig in sigs.items():
+                s = np.intersect1d(qsig, rsig, assume_unique=True).size
+                if s:
+                    cum[ref] = cum.get(ref, 0) + s
+            ranked = sorted(cum.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (ref, c) in enumerate(ranked[:3], start=1):
+                assert got[(seq, rank)] == (ref, c), (seq, rank)

@@ -83,11 +83,35 @@ def test_signature_pipeline_plan_properties(spark):
     cand = candidate_pairs(sigs, CFG, cache_bands=False)
     assert not column_crosses_shuffle(cand, "content")
     assert wholestage_codegen_spans(cand) > 0
-    # the candidate stage's claim: exactly two shuffles
-    # (groupBy band_key + the pair distinct)
+    # the candidate stage's claim: every heavy shuffle moves 16-byte fid
+    # keys, never file_id strings; strings attach only via broadcast
+    # joins after the distinct. Hash-exchange budget for the fid path:
+    # hot-key count groupBy + cold groupBy + hot salt groupBy + hub
+    # groupBy + pair distinct = 5 (of which only count/cold/distinct
+    # carry full-size data; the hot ones see the boilerplate subset).
+    from sketchy_spark.operators.lsh import candidate_pairs_fid
+
+    fid_plan = physical_plan(candidate_pairs_fid(sigs, CFG)).split(
+        "== Initial Plan =="
+    )[0]
+    # Textual plans print shared broadcast subtrees once per consumer
+    # (ReuseExchange dedupes at runtime), so count UNIQUE partitioning
+    # signatures: band groupBys (band_key), salted hot-key groupBy
+    # (band_key, salt), pair distinct (a_fid, b_fid) -> <= 4 distinct
+    # shuffle keys, all fid/long — file_id strings never cross a shuffle.
+    import re
+
+    sigs_seen = set()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", fid_plan):
+        assert "file_id" not in m.group(1), m.group(0)
+        sigs_seen.add(re.sub(r"#\d+", "", m.group(1)))
+    assert len(sigs_seen) <= 4, sigs_seen
+    # band-key salting is present for over-cap keys (north-star wording)
+    assert "smin" in fid_plan and "salt" in fid_plan
+    # public string form adds only the attach joins + normalize distinct
     final_plan = physical_plan(cand).split("== Initial Plan ==")[0]
     n_exchanges = final_plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, final_plan
+    assert n_exchanges <= 8, final_plan
 
 
 # ------------------------------------------------------------- multimodal
@@ -196,3 +220,24 @@ def test_stream_dedup_available_now(spark, tmp_path):
         return out
 
     assert _pairs(inc_clusters) == _pairs(single.clusters)
+
+
+def test_range_partition_ingest_plan(spark):
+    """north-star: repartitionByRange('lang','repo') at pipeline ingest —
+    the range exchange must be present in the signature plan when the
+    flag is on, absent when off."""
+    from sketchy_spark.pipeline import run_pipeline
+    from sketchy_spark.plans.explain import physical_plan
+
+    files = corpus_df(spark, 100)
+    on = run_pipeline(
+        files, CFG, with_containment=False, cache_signatures=False,
+        range_partition=True,
+    )
+    plan_on = physical_plan(on.signatures)
+    assert "rangepartitioning" in plan_on, plan_on
+    assert "lang" in plan_on.split("rangepartitioning")[1][:80]
+    off = run_pipeline(
+        files, CFG, with_containment=False, cache_signatures=False,
+    )
+    assert "rangepartitioning" not in physical_plan(off.signatures)

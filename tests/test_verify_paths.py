@@ -26,3 +26,99 @@ def test_arrow_and_sql_verify_agree(spark):
     }
     assert arrow == sql
     assert len(arrow) > 0
+
+
+def test_overcap_neardup_group_salted_recall(spark):
+    """A near-dup clique LARGER than band_skew_cap must still land in one
+    cluster: over-cap band keys emit salted star edges (member -> salt-min
+    -> hub) instead of being dropped, so recall cannot silently fall when
+    a true duplicate group exceeds the cap (VERDICT r1 #3)."""
+    import pandas as pd
+
+    from sketchy_spark.operators.cluster import assign_clusters
+    from sketchy_spark.operators.lsh import candidate_pairs_fid
+    from sketchy_spark.operators.verify import verified_pairs_cascade
+
+    base = "\n".join(
+        f"def fn_{i}(x): return x + {i * 7}" for i in range(120)
+    )
+    rows = []
+    for m in range(40):  # clique of 40 >> cap of 8
+        # tiny unique suffix: near-dup (not sha-identical), so the exact
+        # sha256 path cannot shortcut connectivity
+        rows.append(
+            ("org/clique", f"src/f{m}.py", f"c{m}", "py",
+             base + f"\n# member {m}")
+        )
+    for m in range(30):  # unrelated singletons
+        body = "\n".join(
+            f"val v_{m}_{i} = compute_{m}({i * m + 3})" for i in range(80)
+        )
+        rows.append(("org/other", f"src/s{m}.rs", f"d{m}", "rs", body))
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+    )
+    cfg = SketchConfig(band_skew_cap=8)
+    sigs = sketch_files(files, cfg).cache()
+    n = sigs.count()
+    cand = candidate_pairs_fid(sigs, cfg)
+    verified = verified_pairs_cascade(cand, sigs, cfg, n_files=n)
+    clusters = assign_clusters(
+        sigs, verified.select("a_id", "b_id")
+    ).toPandas()
+    clique = clusters[clusters.file_id.str.startswith("org/clique")]
+    assert clique.cluster_id.nunique() == 1, clique
+    assert len(clique) == 40
+    others = clusters[clusters.file_id.str.startswith("org/other")]
+    assert others.cluster_id.nunique() == 30  # no false merges
+
+
+def test_partial_overlap_containment(spark):
+    """G3 contract: a shared verbatim run >= L chars is detected even when
+    NEITHER file embeds the other (VERDICT r1 #6). Fixture: two files
+    sharing a ~50% middle block with different heads/tails."""
+    import pandas as pd
+
+    from sketchy_spark.operators.verify import (
+        containment_candidates,
+        containment_verified,
+    )
+
+    block = "\n".join(
+        f"shared_line_{i} = compute({i}) + offset_{i * 13}" for i in range(60)
+    )  # ~2.4 KB verbatim block
+    head_a = "\n".join(f"a_only_{i} = {i}" for i in range(40))
+    tail_a = "\n".join(f"a_tail_{i} = {i * 3}" for i in range(40))
+    head_b = "\n".join(f"b_prefix_{i} = {i * 7}" for i in range(40))
+    tail_b = "\n".join(f"b_suffix_{i} = {i * 11}" for i in range(40))
+    doc_a = head_a + "\n" + block + "\n" + tail_a
+    doc_b = head_b + "\n" + block + "\n" + tail_b
+    assert block not in (head_a + tail_a) and doc_a not in doc_b
+
+    rows = [
+        ("org/x", "a.py", "c1", "py", doc_a),
+        ("org/x", "b.py", "c2", "py", doc_b),
+    ]
+    # noise singletons so fingerprint groups are non-trivial
+    for m in range(20):
+        body = "\n".join(f"noise_{m}_{i} = f({i * m})" for i in range(60))
+        rows.append(("org/n", f"n{m}.py", f"d{m}", "py", body))
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+    )
+    sigs = sketch_files(files, CFG).cache()
+    cand = containment_candidates(sigs, CFG, min_containment=0.25)
+    got = containment_verified(cand, files, CFG, min_overlap_chars=512)
+    hits = {
+        (r["small_id"], r["big_id"]): r["overlap_chars"]
+        for r in got.collect()
+    }
+    key = ("org/x/a.py", "org/x/b.py")
+    key_rev = ("org/x/b.py", "org/x/a.py")
+    assert key in hits or key_rev in hits, hits
+    run = hits.get(key, hits.get(key_rev))
+    assert run >= len(block) - 2 * CFG.winnow_window, run
