@@ -97,72 +97,106 @@ def hot_band_keys(bands: DataFrame, cap: int) -> DataFrame:
 
 
 def candidate_pairs_fid(
-    signatures: DataFrame, cfg: SketchConfig, salt_buckets: int = 64
+    signatures: DataFrame, cfg: SketchConfig,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distinct candidate (a_fid, b_fid) longs with a_fid < b_fid.
 
-    Two-phase plan (SURVEY §4.1 skew defense, north-star band-key
+    Two-pass plan (SURVEY §4.1 skew defense, north-star band-key
     salting):
 
     1. A count groupBy finds HOT band keys (> ``cfg.band_skew_cap``
-       members). Map-side partial aggregation makes this pass cheap, and
-       the hot set (boilerplate bands) is tiny — it broadcasts.
-    2. COLD bands anti-join the hot set map-side, then ONE groupBy
-       collects member lists — every aggregate buffer is bounded by
-       ``cap`` (a degenerate 10M-member key can never OOM an aggregation
-       buffer) — and a pipelined double-explode emits i<j pairs.
-    3. HOT bands are SALTED: salt = pmod(xxhash64(fid), salt_buckets)
-       joins the band key, so the per-(key, salt) groups are balanced
-       across reducers. Each member pairs with its salt group's minimum
-       and each salt minimum pairs with the band's global minimum —
-       every member of a true over-cap near-dup clique stays connected
-       to one hub in O(group) candidate edges (recall preserved; the
-       O(group²) blowup and the silent drop are both gone).
+       members) and their counts. Map-side partial aggregation makes
+       this pass cheap, and the hot set (boilerplate bands) is tiny —
+       it broadcasts.
+    2. ONE grouped pass over (band_key, salt) emits everything else.
+       Cold keys use a single salt bucket (whole group in one bounded
+       buffer, all i<j pairs). Hot keys are SALTED with a per-key
+       dynamic fan-out nsalt = ceil(count/cap), so every aggregation
+       buffer stays ~cap regardless of key degeneracy; each member
+       star-connects to its salt group's minimum and salt minima chain
+       to the band's global minimum — every member of a true over-cap
+       near-dup clique stays connected to one hub in O(group) candidate
+       edges (recall preserved; the O(group²) blowup and the silent
+       drop are both gone).
 
     All shuffled rows are 16-byte (fid, key) pairs; strings never enter.
+
+    ``persisted``: accepted for caller symmetry; this plan persists
+    nothing (see the in-body note on why a cached band table loses).
     """
     cap = cfg.band_skew_cap
-    # bands feed three passes (hot count, cold groupBy, hot semi-join);
-    # persist the 16-byte rows once instead of re-evaluating 32 band
-    # hashes per signature per pass. The hot-count broadcast materializes
-    # first (the joins depend on it), which populates this cache before
-    # the cold/hot branches scan it — no duplicate-evaluation race.
-    bands = band_table(signatures, cfg, id_col="fid").persist()
+    # TWO evaluations of the (cheap, map-side) band projection from the
+    # cached signatures — one for the hot-key count, one for the grouped
+    # pair emission. Deliberately NOT persisted: a cached band table with
+    # several consumers races AQE's concurrent query stages on the
+    # unpopulated cache (measured: 4 identical 146 MB map stages in one
+    # query), and an eager materialization barrier drains the whole
+    # cluster at every sync point. Recomputing 32 xxhash64 per row from
+    # the signature cache pipelines into each shuffle write instead.
+    bands = band_table(signatures, cfg, id_col="fid")
+    # Hot keys carry their COUNT so the grouped pass can size the salt
+    # fan-out per key: nsalt = ceil(cnt / cap) caps every aggregation
+    # buffer at ~cap members in expectation regardless of key degeneracy
+    # (a 10M-member key gets 10M/cap salt groups, not one giant buffer).
     hot = (
         bands.groupBy("band_key")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > cap)
-        .select("band_key")
     )
-    cold = bands.join(F.broadcast(hot), "band_key", "left_anti")
-    cold_groups = (
-        cold.groupBy("band_key")
-        .agg(F.collect_list("fid").alias("ids"))
+    salted = (
+        bands.join(F.broadcast(hot), "band_key", "left")
+        .withColumn(
+            "nsalt",
+            F.coalesce(
+                F.ceil(F.col("cnt") / F.lit(cap)), F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("fid"), F.col("nsalt")))
+        .withColumn("is_hot", F.col("cnt").isNotNull())
+    )
+    # ONE groupBy shuffle keyed (band_key, salt): cold keys (nsalt=1) keep
+    # their whole member list in a single bounded buffer; hot keys split
+    # into ~cap-sized salt groups. Downstream, cold groups emit all i<j
+    # pairs (double explode, x>y keeps each unordered pair once); hot
+    # groups emit member->salt-group-minimum star edges (x>smin keeps each
+    # member once) — O(group) edges that keep every member of a true
+    # over-cap clique connected through its hub (recall preserved, no
+    # O(group²) blowup, no silent drop).
+    groups = (
+        salted.groupBy("band_key", "salt")
+        .agg(
+            F.collect_list("fid").alias("ids"),
+            F.first("is_hot").alias("is_hot"),
+        )
         .where(F.size("ids") >= 2)
     )
-    cold_pairs = (
-        cold_groups.select(F.explode("ids").alias("a_fid"), "ids")
-        .select("a_fid", F.explode("ids").alias("b_fid"))
-        .where(F.col("a_fid") < F.col("b_fid"))
-    )
-
-    # Hot path: min-only aggregates (constant agg buffers, fully map-side
-    # combinable — no skewed reducer regardless of group size) + broadcast
-    # joins back. The salted sub-minima keep each member's star edge local
-    # to its salt group; sub-minima chain to the band's global minimum.
-    hotb = bands.join(F.broadcast(hot), "band_key", "left_semi").withColumn(
-        "salt", F.pmod(F.xxhash64("fid"), F.lit(salt_buckets))
-    )
-    sub = hotb.groupBy("band_key", "salt").agg(F.min("fid").alias("smin"))
-    hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))
-    member_edges = (
-        hotb.join(F.broadcast(sub), ["band_key", "salt"])
-        .where(F.col("fid") != F.col("smin"))
-        .select(
-            F.least("fid", "smin").alias("a_fid"),
-            F.greatest("fid", "smin").alias("b_fid"),
+    pairs_main = (
+        groups.select(
+            "is_hot",
+            F.array_min("ids").alias("smin"),
+            "ids",
+            F.explode("ids").alias("x"),
         )
+        .select(
+            "x",
+            F.explode(
+                F.when(F.col("is_hot"), F.array("smin")).otherwise(
+                    F.col("ids")
+                )
+            ).alias("y"),
+        )
+        .where(F.col("x") > F.col("y"))
+        .select(F.col("y").alias("a_fid"), F.col("x").alias("b_fid"))
     )
+    # Salt-group minima chain to the band's global minimum so the hot
+    # key's salt groups stay one component. Tiny data (≤ |hot| × nsalt
+    # rows); its read of the groups exchange is deduplicated by Spark's
+    # ReusedExchange (identical canonical shuffle).
+    sub = groups.where("is_hot").select(
+        "band_key", F.array_min("ids").alias("smin")
+    )
+    hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))
     hub_edges = (
         sub.join(F.broadcast(hub), "band_key")
         .where(F.col("smin") != F.col("hub"))
@@ -171,9 +205,7 @@ def candidate_pairs_fid(
             F.greatest("smin", "hub").alias("b_fid"),
         )
     )
-    return (
-        cold_pairs.unionByName(member_edges).unionByName(hub_edges).distinct()
-    )
+    return pairs_main.unionByName(hub_edges).distinct()
 
 
 def attach_file_ids(

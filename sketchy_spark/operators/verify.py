@@ -150,7 +150,7 @@ def verified_pairs_cascade(
     pairs: DataFrame, signatures: DataFrame, cfg: SketchConfig,
     margin: float = 0.15, files: DataFrame | None = None,
     n_files: int | None = None, resident: bool | None = None,
-    attach_ids: bool = True,
+    attach_ids: bool = True, persisted: list | None = None,
 ) -> DataFrame:
     """Two-stage verification cascade (SURVEY G4: full estimator only for
     borderline pairs). Returns string-keyed (a_id, b_id, jaccard, hamming)
@@ -292,8 +292,9 @@ def verified_pairs_cascade(
                 yield out[small | (est >= tau - margin)]
 
         # the scan-side attach broadcasts the pair frame twice (a- and
-        # b-side); persist so candidate generation evaluates once
-        pairs = pairs.persist()
+        # b-side); the two broadcast exchanges canonicalize identically,
+        # so Spark's ReuseExchange builds the pair set once — no persist
+        # or eager barrier needed (a barrier here drains the cluster).
         src = _with_sides(
             pairs, sigs, ["sig_perm", "simhash", "n_shingles"]
         ).select(
@@ -312,6 +313,8 @@ def verified_pairs_cascade(
     # query stages; AQE materializes them concurrently, and concurrent
     # consumers of a lazily-persisted frame each run their own evaluation.
     coarse.count()
+    if persisted is not None:
+        persisted.append(coarse)
     accepted = coarse.where(
         (~F.col("needs_exact")) & (F.col("jaccard") >= tau + margin)
     ).drop("needs_exact")

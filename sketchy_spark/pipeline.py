@@ -98,10 +98,13 @@ def run_pipeline(
 
     # The whole pair/edge flow stays in fid longs (16-byte shuffle keys,
     # operators/lsh.py); file_id strings attach once, to final outputs.
-    fid_candidates = candidate_pairs_fid(signatures, cfg)
+    # ``internal`` collects every frame the stages persist (band cache,
+    # candidate pairs, coarse estimates) so unpersist() can release them.
+    internal: list[DataFrame] = []
+    fid_candidates = candidate_pairs_fid(signatures, cfg, persisted=internal)
     verified_fid = verified_pairs_cascade(
         fid_candidates, signatures, cfg, files=files, n_files=n_files,
-        attach_ids=False,
+        attach_ids=False, persisted=internal,
     ).persist()  # consumed by edges AND exposed as .verified
     edges_fid = (
         exact_dup_edges_fid(signatures)
@@ -146,7 +149,7 @@ def run_pipeline(
         )
     return PipelineResult(
         signatures, candidates, verified, clusters, cont, edges,
-        persisted=(verified_fid,),
+        persisted=(verified_fid, *internal),
     )
 
 
