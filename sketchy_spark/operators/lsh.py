@@ -122,8 +122,8 @@ def candidate_pairs_fid(
 
     All shuffled rows are 16-byte (fid, key) pairs; strings never enter.
 
-    ``persisted``: accepted for caller symmetry; this plan persists
-    nothing (see the in-body note on why a cached band table loses).
+    ``persisted``: receives the cached (post-distinct) pair frame so the
+    caller can unpersist it once downstream consumers are done.
     """
     cap = cfg.band_skew_cap
     # TWO evaluations of the (cheap, map-side) band projection from the
@@ -167,10 +167,15 @@ def candidate_pairs_fid(
         salted.groupBy("band_key", "salt")
         .agg(
             F.collect_list("fid").alias("ids"),
-            F.first("is_hot").alias("is_hot"),
+            F.max("is_hot").alias("is_hot"),
         )
         .where(F.size("ids") >= 2)
     )
+    # The big groups exchange has exactly ONE consumer (this chain).
+    # collect_list is flagged non-deterministic, which disables Spark's
+    # ReusedExchange for any subtree containing it — every additional
+    # consumer would re-shuffle the full band table (measured: 6 identical
+    # ~290 MB exchanges in one pipeline run). Keep it single-consumer.
     pairs_main = (
         groups.select(
             "is_hot",
@@ -190,12 +195,21 @@ def candidate_pairs_fid(
         .select(F.col("y").alias("a_fid"), F.col("x").alias("b_fid"))
     )
     # Salt-group minima chain to the band's global minimum so the hot
-    # key's salt groups stay one component. Tiny data (≤ |hot| × nsalt
-    # rows); its read of the groups exchange is deduplicated by Spark's
-    # ReusedExchange (identical canonical shuffle).
-    sub = groups.where("is_hot").select(
-        "band_key", F.array_min("ids").alias("smin")
+    # key's salt groups stay one component. Recomputed from the HOT
+    # subset of the band projection (semi-join against the broadcast hot
+    # set) rather than from the groups exchange: the hot subset is tiny,
+    # its min-aggregates are map-side combinable, and this keeps the big
+    # exchange single-consumer (see note above).
+    hotb = bands.join(F.broadcast(hot), "band_key").withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("fid"),
+            F.coalesce(F.ceil(F.col("cnt") / F.lit(cap)), F.lit(1)).cast(
+                "long"
+            ),
+        ),
     )
+    sub = hotb.groupBy("band_key", "salt").agg(F.min("fid").alias("smin"))
     hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))
     hub_edges = (
         sub.join(F.broadcast(hub), "band_key")
@@ -205,7 +219,18 @@ def candidate_pairs_fid(
             F.greatest("smin", "hub").alias("b_fid"),
         )
     )
-    return pairs_main.unionByName(hub_edges).distinct()
+    out = pairs_main.unionByName(hub_edges).distinct()
+    # Materialize the (small, post-distinct) pair set once: the cascade
+    # broadcasts it twice and ReusedExchange cannot dedupe through the
+    # non-deterministic collect_list, so an unmaterialized pair frame
+    # re-runs this whole DAG per consumer. One eager count amortizes
+    # across every downstream read; ``persisted`` receives the cache for
+    # the caller to release.
+    out = out.persist()
+    out.count()
+    if persisted is not None:
+        persisted.append(out)
+    return out
 
 
 def attach_file_ids(
