@@ -123,6 +123,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_rank"] = topk_rank
 
+    def result_rows_tsv(s, d):
+        """R31 TSV row assembly: the reference's stdout row stream
+        (reads \\t sketch_id \\t shared \\t ...) as one tab-joined string
+        per result row (integer cents avoid float-format divergence)."""
+        from sketchy_spark.operators.rank import format_result_rows
+
+        base = topk_rank(s, d).select(
+            "nationkey",
+            "suppkey",
+            F.round(F.col("acctbal") * 100).cast("long").alias("cents"),
+            "rank",
+        )
+        return format_result_rows(
+            base, ["nationkey", "suppkey", "cents", "rank"]
+        )
+
+    q["result_rows_tsv"] = result_rows_tsv
+
     def mode_consensus(s, d):
         from pyspark.sql import Window
 
@@ -439,6 +457,17 @@ def oracle_sql() -> dict[str, str]:
                  order by s_acctbal desc, s_suppkey asc) as rank
               from supplier)
         where rank <= 2
+    """
+    o["result_rows_tsv"] = """
+        select concat_ws(chr(9), nationkey, suppkey, cents, rank) as row
+        from (select s_nationkey as nationkey, s_suppkey as suppkey,
+                     cast(round(round(s_acctbal, 2) * 100) as bigint)
+                       as cents, rank
+              from (select *, row_number() over
+                      (partition by s_nationkey
+                       order by s_acctbal desc, s_suppkey asc) as rank
+                    from supplier)
+              where rank <= 2)
     """
     o["mode_consensus"] = """
         with c as (select c_mktsegment, o_orderpriority, count(*) cnt

@@ -156,6 +156,11 @@ def ngram_jaccard_pairs(
         .where(F.size("ids") <= shingle_cap)
         .persist()  # consumed by the pair explode AND the denominators
     )
+    # Eager: collect_list is flagged non-deterministic, which disables
+    # ReusedExchange; two consumers racing the unpopulated cache would
+    # each re-run the full shingle explode + groupBy (operators/lsh.py
+    # learned the same lesson).
+    groups.count()
     shared = (
         groups.where(F.size("ids") >= 2)
         .select(F.explode("ids").alias("a_id"), "ids")

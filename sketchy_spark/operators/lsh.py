@@ -108,7 +108,7 @@ def candidate_pairs_fid(
     1. A count groupBy finds HOT band keys (> ``cfg.band_skew_cap``
        members) and their counts. Map-side partial aggregation makes
        this pass cheap, and the hot set (boilerplate bands) is tiny —
-       it broadcasts.
+       it is collected and inlined as literal map/isin expressions.
     2. ONE grouped pass over (band_key, salt) emits everything else.
        Cold keys use a single salt bucket (whole group in one bounded
        buffer, all i<j pairs). Hot keys are SALTED with a per-key
@@ -126,34 +126,54 @@ def candidate_pairs_fid(
     caller can unpersist it once downstream consumers are done.
     """
     cap = cfg.band_skew_cap
-    # TWO evaluations of the (cheap, map-side) band projection from the
-    # cached signatures — one for the hot-key count, one for the grouped
-    # pair emission. Deliberately NOT persisted: a cached band table with
-    # several consumers races AQE's concurrent query stages on the
-    # unpopulated cache (measured: 4 identical 146 MB map stages in one
-    # query), and an eager materialization barrier drains the whole
-    # cluster at every sync point. Recomputing 32 xxhash64 per row from
-    # the signature cache pipelines into each shuffle write instead.
-    bands = band_table(signatures, cfg, id_col="fid")
-    # Hot keys carry their COUNT so the grouped pass can size the salt
-    # fan-out per key: nsalt = ceil(cnt / cap) caps every aggregation
-    # buffer at ~cap members in expectation regardless of key degeneracy
-    # (a 10M-member key gets 10M/cap salt groups, not one giant buffer).
-    hot = (
+    # ONE materialization of the 16-byte band rows: the hot-count job
+    # below populates the cache, and every later pass (salted groups, hot
+    # subset) reads it — the 32-hash band projection over the signature
+    # cache runs once, not once per consumer. Spark's ReuseExchange
+    # CANNOT be relied on here (collect_list downstream is flagged
+    # non-deterministic, and broadcast subtrees were measured to
+    # re-execute: six full scans per run before this design).
+    bands = band_table(signatures, cfg, id_col="fid").persist()
+    if persisted is not None:
+        persisted.append(bands)
+    # Hot keys (> cap members) with their counts, COLLECTED: the hot set
+    # is boilerplate bands — tiny (tens to thousands of keys) — so it
+    # inlines as literal expressions instead of broadcast joins, removing
+    # every broadcast-build job and re-evaluation of the count subtree.
+    # This collect doubles as the eager materialization barrier for the
+    # band cache. At a truly degenerate corpus (millions of hot keys) the
+    # literal would bloat the plan; fall back to caring about that if a
+    # corpus ever produces one — the count query itself stays O(keys).
+    hot_rows = (
         bands.groupBy("band_key")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > cap)
+        .collect()
     )
-    salted = (
-        bands.join(F.broadcast(hot), "band_key", "left")
-        .withColumn(
-            "nsalt",
-            F.coalesce(
-                F.ceil(F.col("cnt") / F.lit(cap)), F.lit(1)
-            ).cast("long"),
+    hot_nsalt = {
+        r["band_key"]: -(-r["cnt"] // cap) for r in hot_rows
+    }  # key -> ceil(cnt/cap): per-key salt fan-out bounds every
+    #    aggregation buffer at ~cap regardless of key degeneracy
+    if hot_nsalt:
+        nsalt_map = F.create_map(
+            *[
+                F.lit(x)
+                for kv in hot_nsalt.items()
+                for x in kv
+            ]
         )
-        .withColumn("salt", F.pmod(F.xxhash64("fid"), F.col("nsalt")))
-        .withColumn("is_hot", F.col("cnt").isNotNull())
+        nsalt_col = F.coalesce(
+            F.element_at(nsalt_map, F.col("band_key")), F.lit(1)
+        ).cast("long")
+        is_hot_col = F.element_at(
+            nsalt_map, F.col("band_key")
+        ).isNotNull()
+    else:
+        nsalt_col = F.lit(1)
+        is_hot_col = F.lit(False)
+    salted = (
+        bands.withColumn("salt", F.pmod(F.xxhash64("fid"), nsalt_col))
+        .withColumn("is_hot", is_hot_col)
     )
     # ONE groupBy shuffle keyed (band_key, salt): cold keys (nsalt=1) keep
     # their whole member list in a single bounded buffer; hot keys split
@@ -196,18 +216,11 @@ def candidate_pairs_fid(
     )
     # Salt-group minima chain to the band's global minimum so the hot
     # key's salt groups stay one component. Recomputed from the HOT
-    # subset of the band projection (semi-join against the broadcast hot
-    # set) rather than from the groups exchange: the hot subset is tiny,
-    # its min-aggregates are map-side combinable, and this keeps the big
-    # exchange single-consumer (see note above).
-    hotb = bands.join(F.broadcast(hot), "band_key").withColumn(
-        "salt",
-        F.pmod(
-            F.xxhash64("fid"),
-            F.coalesce(F.ceil(F.col("cnt") / F.lit(cap)), F.lit(1)).cast(
-                "long"
-            ),
-        ),
+    # subset of the cached band table (map-side isin filter on the
+    # literal hot set — only hot rows shuffle) rather than from the
+    # groups exchange: keeps the big exchange single-consumer.
+    hotb = salted.where(
+        F.col("band_key").isin(list(hot_nsalt)) if hot_nsalt else F.lit(False)
     )
     sub = hotb.groupBy("band_key", "salt").agg(F.min("fid").alias("smin"))
     hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))

@@ -186,3 +186,19 @@ def congruence_check(
     n = unmatched.count()
     if n:
         raise MissingMetadataError(f"{n} sketch names missing from metadata")
+
+
+def format_result_rows(
+    results: DataFrame, cols: list[str], out_col: str = "row"
+) -> DataFrame:
+    """Reference-style TSV row assembly (R31, src/sketchy.rs:388-399):
+    ``reads \\t sketch_id \\t shared \\t genotype...`` becomes one
+    tab-joined string column per result row. Structured columns remain
+    the preferred output (SURVEY §2.6); this exists for byte-parity with
+    the reference's stdout stream and for plain-text sinks.
+    """
+    return results.select(
+        F.concat_ws(
+            "\t", *[F.col(c).cast("string") for c in cols]
+        ).alias(out_col)
+    )

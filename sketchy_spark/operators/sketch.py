@@ -19,7 +19,8 @@ Column contract (the ``signatures`` table, SURVEY §1.2):
 - ``sig``          array<long> — MinHash sketch, ascending unsigned order
   stored as shifted int64 (SURVEY §4.2); sorted invariant mirrors
   src/sketchy.rs:414-418
-- ``sig_perm``     array<long> — fixed-width num_perm signature (LSH, G1)
+- ``sig_perm``     array<int> — fixed-width num_perm signature (LSH, G1);
+  low 32 bits per OPH slot (equality-only consumers, SURVEY G1/G4)
 - ``simhash``      long    — Charikar fingerprint (G2)
 - ``fingerprints`` array<long> — winnowing minima (containment pass, G3)
 
@@ -51,13 +52,13 @@ from sketchy_spark.hashing import (
 SIGNATURE_SCHEMA = (
     "file_id string, repo string, path string, commit string, lang string, "
     "sha256 string, n_bytes long, n_shingles long, sig array<long>, "
-    "sig_perm array<long>, simhash long, fingerprints array<long>"
+    "sig_perm array<int>, simhash long, fingerprints array<long>"
 )
 
 SLIM_SCHEMA = (
     "file_id string, repo string, path string, commit string, lang string, "
     "sha256 string, n_bytes long, n_shingles long, "
-    "sig_perm array<long>, simhash long, fingerprints array<long>"
+    "sig_perm array<int>, simhash long, fingerprints array<long>"
 )
 
 _CARRY = ["file_id", "repo", "path", "commit", "lang", "sha256", "n_bytes"]
@@ -87,7 +88,16 @@ def _sketch_batches(
                     else:
                         sel = bottom_s(distinct, cfg.s)
                     sigs.append(u64_to_i64(sel))
-                perms.append(u64_to_i64(oph_minhash(distinct, cfg.num_perm)))
+                # low 32 bits per OPH slot, stored as int32: every consumer
+                # compares slots for EQUALITY only (band hashing, cascade
+                # slot-match), so truncation costs a 2^-32 per-slot false
+                # match and halves the signature cache + every sig_perm
+                # shuffle/scan — the hottest bandwidth in the pipeline
+                perms.append(
+                    oph_minhash(distinct, cfg.num_perm)
+                    .astype(np.uint32)
+                    .view(np.int32)
+                )
                 if with_fp:
                     fps.append(u64_to_i64(winnow(seg, cfg.winnow_window)))
                 sims.append(simhash64(distinct))

@@ -198,7 +198,7 @@ def verified_pairs_cascade(
     if resident is None:
         if n_files is None:
             n_files = signatures.count()
-        resident = n_files * (cfg.num_perm * 8 + 24) < 30_000_000
+        resident = n_files * (cfg.num_perm * 4 + 24) < 30_000_000
 
     if resident:
         # Arrow-native collect: flatten the fixed-width sig_perm lists
@@ -542,6 +542,10 @@ def containment_verified(
         F.when(small_first, F.col("a_nb")).otherwise(F.col("b_nb")).alias("small_nb"),
         "containment",
     ).persist()  # two tiers consume it
+    # Eager: the two tiers materialize concurrently under one action and
+    # would otherwise race the unpopulated cache, re-running the
+    # content-wide candidate joins twice.
+    staged.count()
     full = staged.where(F.instr("big_c", "small_c") > 0).select(
         "small_id",
         "big_id",

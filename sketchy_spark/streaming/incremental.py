@@ -42,7 +42,14 @@ def _new_vs_all_candidates(
     new_sigs: DataFrame, all_sigs: DataFrame, cfg: SketchConfig
 ) -> DataFrame:
     """Band join restricted to pairs touching a new file: the incremental
-    form of G1. Work is O(|new| x collision) instead of O(|all|²)."""
+    form of G1. Work is O(|new| x collision) instead of O(|all|²).
+
+    Hot band keys (> cap members in the accumulated corpus) are excluded
+    from the all-pairs join and handled like the batch path's salted
+    stars (operators/lsh.py): each NEW member of a hot band pairs with
+    that band's accumulated minimum member, so an over-cap near-dup
+    clique keeps absorbing arrivals through its hub instead of silently
+    dropping them — O(|new|) extra candidates."""
     new_bands = band_table(new_sigs, cfg)
     all_bands = band_table(all_sigs, cfg)
     hot = hot_band_keys(all_bands, cfg.band_skew_cap)
@@ -57,9 +64,21 @@ def _new_vs_all_candidates(
             F.least("n_id", "m_id").alias("a_id"),
             F.greatest("n_id", "m_id").alias("b_id"),
         )
-        .distinct()
     )
-    return pairs
+    hubs = (
+        all_bands.join(F.broadcast(hot), "band_key", "left_semi")
+        .groupBy("band_key")
+        .agg(F.min("file_id").alias("hub"))
+    )
+    hot_star = (
+        new_bands.join(F.broadcast(hubs), "band_key")
+        .where(F.col("file_id") != F.col("hub"))
+        .select(
+            F.least("file_id", "hub").alias("a_id"),
+            F.greatest("file_id", "hub").alias("b_id"),
+        )
+    )
+    return pairs.unionByName(hot_star).distinct()
 
 
 def _incremental_exact_edges(

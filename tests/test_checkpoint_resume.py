@@ -119,6 +119,45 @@ def test_incremental_crash_window_idempotent(spark, tmp_path):
     assert got == _pairs(single.clusters)
 
 
+def test_incremental_hot_band_arrivals_stay_connected(spark, tmp_path):
+    """A near-dup clique larger than band_skew_cap keeps absorbing NEW
+    arrivals: hot band keys are excluded from the incremental all-pairs
+    join, so without the hub-star fallback a new member of an over-cap
+    clique would be silently dropped (mirror of the batch path's salted
+    stars, operators/lsh.py)."""
+    import pandas as pd
+
+    base = "\n".join(
+        f"def fn_{i}(x): return x + {i * 7}" for i in range(120)
+    )
+
+    def clique_rows(lo, hi):
+        return [
+            ("org/clique", f"src/f{m}.py", f"c{m}", "py",
+             base + f"\n# member {m}")
+            for m in range(lo, hi)
+        ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+        )
+
+    cfg = SketchConfig(band_skew_cap=8)
+    store = CheckpointStore(str(tmp_path / "inc5"), cfg.config_hash)
+    inc = IncrementalDedup(spark, store, cfg)
+    # batch 0: 20 members -> every band key of the clique is hot (> 8)
+    inc.ingest_batch(0, df(clique_rows(0, 20)))
+    # batch 1: 5 NEW members arrive into the now-hot bands
+    inc.ingest_batch(1, df(clique_rows(20, 25)))
+    clusters = inc.clusters().toPandas()
+    clique = clusters[clusters.file_id.str.startswith("org/clique")]
+    assert len(clique) == 25
+    assert clique.cluster_id.nunique() == 1, clique
+
+
 def test_incremental_appends_only(spark, tmp_path):
     """O(batch) ingest: each batch adds exactly two immutable stages and
     never rewrites earlier ones (VERDICT r1 #7)."""
