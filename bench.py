@@ -278,9 +278,9 @@ BASELINE.md row 8).{_gate_note(s)}
 
 An embarrassingly parallel zero-shuffle job — the murmur shingle kernel
 alone via mapInPandas, no joins, no aggregation — measures what this VM
-can give ANY plan between the two levels (local[{lo}] and local[{hi}]
-share ONE memory bus and its bandwidth saturates below {hi} cores; on a
-real 4N-executor cluster each executor has its own):
+gives a plan with no shuffle or coordination between the two levels
+(local[{lo}] and local[{hi}] share one memory bus and one local disk,
+which a real 4N-executor cluster does not):
 
 | | local[{lo}] | local[{hi}] | efficiency |
 |---|---|---|---|

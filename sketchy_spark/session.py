@@ -62,6 +62,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # broadcast small dims (metadata joins); AQE may upgrade more
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/spill files default to /tmp, which sits on the virtio
+        # DISK in this sandbox; at 32 concurrent writers the device
+        # serializes what the plan parallelized. tmpfs (128 GiB RAM)
+        # removes the device entirely. On a real cluster leave this to
+        # the cluster manager's fast local volumes.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SKETCHY_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.driver.memory", os.environ.get("SKETCHY_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SKETCHY_UI", "false"))
     )
