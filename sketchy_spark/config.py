@@ -18,6 +18,14 @@ from dataclasses import asdict, dataclass, field
 U64 = 1 << 64
 I64_SHIFT = 1 << 63  # order-preserving uint64 -> int64 shift (SURVEY §4.2)
 
+# On-disk signature format version, folded into config_hash so stored
+# checkpoint stages are invalidated whenever the physical signature
+# encoding changes (not just the logical sketch params). v2: sig_perm
+# packed to array<int> (low 32 bits of the OPH value) — a v1 store
+# (array<long>, full 64 bits) unioned with v2 batches would never match
+# band keys across the boundary, silently losing cross-batch recall.
+SIG_FORMAT_VERSION = 2
+
 
 @dataclass(frozen=True)
 class SketchConfig:
@@ -76,7 +84,13 @@ class SketchConfig:
 
     @property
     def config_hash(self) -> str:
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        """Keyed on logical params AND the physical signature encoding
+        (SIG_FORMAT_VERSION), so checkpoint stages written under an
+        older on-disk layout are never silently mixed with new ones."""
+        payload = json.dumps(
+            {**asdict(self), "_sig_format": SIG_FORMAT_VERSION},
+            sort_keys=True,
+        ).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
 

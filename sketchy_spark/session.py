@@ -8,8 +8,25 @@ tests, bench, and spark-submit. Designed for multi-executor clusters;
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _default_local_dir() -> str:
+    """tmpfs spill dir only when explicitly requested or demonstrably
+    large; otherwise the platform temp dir (Spark's own default)."""
+    explicit = os.environ.get("SKETCHY_LOCAL_DIR")
+    if explicit:
+        return explicit
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= 8 * (1 << 30):
+            return os.path.join(shm, "spark-local")
+    except OSError:
+        pass
+    return tempfile.gettempdir()
 
 
 def get_spark(
@@ -65,12 +82,11 @@ def get_spark(
         # Shuffle/spill files default to /tmp, which sits on the virtio
         # DISK in this sandbox; at 32 concurrent writers the device
         # serializes what the plan parallelized. tmpfs (128 GiB RAM)
-        # removes the device entirely. On a real cluster leave this to
-        # the cluster manager's fast local volumes.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SKETCHY_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
+        # removes the device entirely. Guarded: common container hosts
+        # mount /dev/shm at 64 MB, where spill would ENOSPC — only
+        # route there when it has real capacity (>= 8 GiB free). On a
+        # real cluster leave this to the manager's fast local volumes.
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.driver.memory", os.environ.get("SKETCHY_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SKETCHY_UI", "false"))
     )

@@ -39,7 +39,10 @@ from sketchy_spark.operators.verify import verified_pairs
 
 
 def _new_vs_all_candidates(
-    new_sigs: DataFrame, all_sigs: DataFrame, cfg: SketchConfig
+    new_sigs: DataFrame,
+    all_sigs: DataFrame,
+    cfg: SketchConfig,
+    prev_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Band join restricted to pairs touching a new file: the incremental
     form of G1. Work is O(|new| x collision) instead of O(|all|²).
@@ -47,9 +50,20 @@ def _new_vs_all_candidates(
     Hot band keys (> cap members in the accumulated corpus) are excluded
     from the all-pairs join and handled like the batch path's salted
     stars (operators/lsh.py): each NEW member of a hot band pairs with
-    that band's accumulated minimum member, so an over-cap near-dup
-    clique keeps absorbing arrivals through its hub instead of silently
-    dropping them — O(|new|) extra candidates."""
+    the band's hub, so an over-cap near-dup clique keeps absorbing
+    arrivals through its hub instead of silently dropping them —
+    O(|new|) extra candidates.
+
+    The hub MUST come from the pre-batch corpus when the band has prior
+    members: taking min(file_id) over the accumulated bands (old bug)
+    let a new arrival that sorts below all existing members become the
+    hub itself — it then matched the ``file_id != hub`` filter nowhere,
+    got zero edges, and every other new member linked only to it,
+    splitting the clique from its previously-ingested component. With a
+    pre-batch hub every new member (including a new global minimum)
+    links into the existing component; the batch-local minimum is the
+    hub only for bands with no prior members at all.
+    """
     new_bands = band_table(new_sigs, cfg)
     all_bands = band_table(all_sigs, cfg)
     hot = hot_band_keys(all_bands, cfg.band_skew_cap)
@@ -65,11 +79,23 @@ def _new_vs_all_candidates(
             F.greatest("n_id", "m_id").alias("b_id"),
         )
     )
-    hubs = (
-        all_bands.join(F.broadcast(hot), "band_key", "left_semi")
+    batch_hub = (
+        new_bands.join(F.broadcast(hot), "band_key", "left_semi")
         .groupBy("band_key")
-        .agg(F.min("file_id").alias("hub"))
+        .agg(F.min("file_id").alias("bhub"))
     )
+    if prev_sigs is not None:
+        prev_hub = (
+            band_table(prev_sigs, cfg)
+            .join(F.broadcast(hot), "band_key", "left_semi")
+            .groupBy("band_key")
+            .agg(F.min("file_id").alias("phub"))
+        )
+        hubs = batch_hub.join(prev_hub, "band_key", "left").select(
+            "band_key", F.coalesce("phub", "bhub").alias("hub")
+        )
+    else:
+        hubs = batch_hub.select("band_key", F.col("bhub").alias("hub"))
     hot_star = (
         new_bands.join(F.broadcast(hubs), "band_key")
         .where(F.col("file_id") != F.col("hub"))
@@ -173,7 +199,9 @@ class IncrementalDedup:
             if prev_sigs is not None
             else new_sigs
         )
-        cand = _new_vs_all_candidates(new_sigs, all_sigs, self.cfg)
+        cand = _new_vs_all_candidates(
+            new_sigs, all_sigs, self.cfg, prev_sigs=prev_sigs
+        )
         ver = verified_pairs(cand, all_sigs, self.cfg).select("a_id", "b_id")
         exact = _incremental_exact_edges(new_sigs, prev_sigs)
         self.store.write_stage(

@@ -158,6 +158,49 @@ def test_incremental_hot_band_arrivals_stay_connected(spark, tmp_path):
     assert clique.cluster_id.nunique() == 1, clique
 
 
+def test_incremental_hot_band_new_global_min_stays_connected(spark, tmp_path):
+    """ADVICE r2 (high): a NEW arrival that sorts lexicographically before
+    every previously-ingested member of an over-cap (hot-band) clique must
+    still connect to the existing component. The old hub choice —
+    min(file_id) over the ACCUMULATED bands — made such an arrival the hub
+    itself: it matched the ``file_id != hub`` star filter nowhere (zero
+    edges, silently dropped) and the rest of its batch linked only to it,
+    splitting the clique from the prior component. Hubs now come from the
+    pre-batch corpus."""
+    import pandas as pd
+
+    base = "\n".join(
+        f"def fn_{i}(x): return x + {i * 7}" for i in range(120)
+    )
+
+    def rows(names):
+        return [
+            ("org/clique", f"src/{m}.py", f"c{m}", "py",
+             base + f"\n# member {m}")
+            for m in names
+        ]
+
+    def df(r):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                r, columns=["repo", "path", "commit", "lang", "content"]
+            )
+        )
+
+    cfg = SketchConfig(band_skew_cap=8)
+    store = CheckpointStore(str(tmp_path / "inc6"), cfg.config_hash)
+    inc = IncrementalDedup(spark, store, cfg)
+    # batch 0: 20 members named m10..m29 -> every clique band key is hot
+    inc.ingest_batch(0, df(rows([f"m{i}" for i in range(10, 30)])))
+    # batch 1: arrivals a0..a2 sort BEFORE every existing member; a0 is
+    # the new global minimum of every hot band
+    inc.ingest_batch(1, df(rows(["a0", "a1", "a2"])))
+    clusters = inc.clusters().toPandas()
+    clique = clusters[clusters.file_id.str.startswith("org/clique")]
+    assert len(clique) == 23
+    assert clique.cluster_id.nunique() == 1, clique.sort_values("file_id")
+
+
 def test_incremental_appends_only(spark, tmp_path):
     """O(batch) ingest: each batch adds exactly two immutable stages and
     never rewrites earlier ones (VERDICT r1 #7)."""
