@@ -27,6 +27,24 @@ from sketchy_spark.functions import text as tx
 
 CFG = SketchConfig()
 
+# One pipeline run shared by the three planted_* queries (same 400-file
+# corpus; clusters/verified are identical with or without the containment
+# pass, so one containment-enabled run serves all three). Keyed per
+# SparkSession so a fresh driver session recomputes.
+_PLANTED: dict[int, object] = {}
+
+
+def _planted_pipeline(s: SparkSession):
+    key = id(s)
+    if key not in _PLANTED:
+        from sketchy_spark.corpus import corpus_df
+        from sketchy_spark.pipeline import run_pipeline
+
+        _PLANTED[key] = run_pipeline(
+            corpus_df(s, 400), CFG, with_containment=True
+        )
+    return _PLANTED[key]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -217,12 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- murmur pipeline on the planted corpus (non-SQL-expressible:
     #     Arrow kernels + iterative CC -> rows-only driver check) ---
     def planted_clusters(s, d):
-        from sketchy_spark.corpus import corpus_df
-        from sketchy_spark.pipeline import run_pipeline
-
-        res = run_pipeline(
-            corpus_df(s, 400), CFG, with_containment=False
-        )
+        res = _planted_pipeline(s)
         return res.clusters.groupBy("cluster_id").agg(
             F.count("*").alias("n_members")
         )
@@ -230,12 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["planted_clusters"] = planted_clusters
 
     def planted_verified_pairs(s, d):
-        from sketchy_spark.corpus import corpus_df
-        from sketchy_spark.pipeline import run_pipeline
-
-        res = run_pipeline(
-            corpus_df(s, 400), CFG, with_containment=False
-        )
+        res = _planted_pipeline(s)
         return res.verified.select(
             "a_id", "b_id", F.round("jaccard", 4).alias("jaccard")
         )
@@ -267,10 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sketch_cardinality"] = sketch_cardinality
 
     def planted_containment(s, d):
-        from sketchy_spark.corpus import corpus_df
-        from sketchy_spark.pipeline import run_pipeline
-
-        res = run_pipeline(corpus_df(s, 400), CFG, with_containment=True)
+        res = _planted_pipeline(s)
         return res.containment.select(
             "small_id", "big_id", F.round("containment", 4).alias("containment")
         )

@@ -111,9 +111,16 @@ def run_sf_queries(spark) -> dict[str, float]:
     ]
     out = {}
     for name in names:
-        t0 = time.time()
-        q[name](spark, SF_DIR).groupBy().count().collect()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2: the first evaluation of a plan pays codegen +
+        # first-touch costs that vary run to run (r2's token_count
+        # "regression" was session warmup landing on the first query, not
+        # a code change) — best-of-2 makes rounds comparable
+        trials = []
+        for _ in range(2):
+            t0 = time.time()
+            q[name](spark, SF_DIR).groupBy().count().collect()
+            trials.append(time.time() - t0)
+        out[name] = round(min(trials), 3)
     return out
 
 
@@ -167,8 +174,8 @@ def main() -> None:
     corpus = prepare_corpus(BENCH_N)
 
     spark = _session(CPUS)
+    _warmup(spark, corpus)  # session/codegen warmup BEFORE any timed query
     queries = run_sf_queries(spark)
-    _warmup(spark, corpus)
     # best-of-2: the first full-size run pays first-touch page faults and
     # codegen for the full plan, and this host has multi-minute noise
     # episodes (identical runs vary 2-4x) — a single-shot headline

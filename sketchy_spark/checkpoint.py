@@ -147,8 +147,14 @@ def run_pipeline_checkpointed(
         spark, "signatures", lambda: sketch_files(files, cfg)
     )
 
+    held: list[DataFrame] = []
+
     def _edges():
-        cand = candidate_pairs(signatures, cfg)
+        # candidate_pairs is lazy (single-evaluation contract) but
+        # verified_pairs broadcasts the pair frame twice; persist it for
+        # the duration of the stage write, released right after.
+        cand = candidate_pairs(signatures, cfg).persist()
+        held.append(cand)
         ver = verified_pairs(cand, signatures, cfg)
         return (
             exact_dup_edges(signatures)
@@ -157,6 +163,8 @@ def run_pipeline_checkpointed(
         )
 
     edges, resumed["edges"] = store.get_or_compute(spark, "edges", _edges)
+    for df in held:  # stage parquet is written; the cache served its job
+        df.unpersist()
 
     clusters, resumed["clusters"] = store.get_or_compute(
         spark, "clusters", lambda: assign_clusters(signatures, edges)

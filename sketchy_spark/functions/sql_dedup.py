@@ -180,10 +180,15 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     n_bands = max_hamming + 1  # pigeonhole: <= 3 flipped bits, 4 bands
     bits = 16 // n_bands
+    # simhash16 is ONE deterministic sum-aggregate; its shuffle exchange
+    # is shared by all three consumers below via ReusedExchange (unlike
+    # collect_list plans, deterministic aggregates canonicalize). The
+    # band join itself is SLIM — (doc_id, band, key) rows only; dragging
+    # simhash through the 4-way join into first() aggregates (r2 plan)
+    # tripled the join width and cost 6x wall locally.
     s = simhash16(docs)
     bands = s.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -197,26 +202,28 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"),
-        "band", "key",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"),
-        "band", "key",
-    )
-    return (
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "key")
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.bit_count(
-                F.first("a_sim").bitwiseXOR(F.first("b_sim"))
-            ).alias("hamming")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # attach the two simhash values AFTER the distinct (post-dedup pair
+    # set is orders of magnitude smaller than the band-collision stream)
+    sa = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    sb = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sim").bitwiseXOR("b_sim")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
     )
 
 

@@ -96,6 +96,38 @@ def hot_band_keys(bands: DataFrame, cap: int) -> DataFrame:
     )
 
 
+# Above this many hot band keys the literal create_map/isin inlining
+# would bloat the plan (degenerate corpora: ~10^5+ distinct over-cap
+# keys); the eager path then falls back to a broadcast-join hot
+# classification built from the same collected counts.
+HOT_LITERAL_MAX = 50_000
+
+
+def _salt_by_hot_df(bands: DataFrame, hot_df: DataFrame) -> DataFrame:
+    """Attach (salt, is_hot) via a broadcast join on the (band_key,
+    nsalt) hot table — the plan-size-safe twin of the literal inlining."""
+    salted = bands.join(F.broadcast(hot_df), "band_key", "left")
+    return (
+        salted.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("fid"), F.coalesce("nsalt", F.lit(1))),
+        )
+        .withColumn("is_hot", F.col("nsalt").isNotNull())
+        .drop("nsalt")
+    )
+
+
+def _hot_counts(bands: DataFrame, cap: int) -> DataFrame:
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > cap)
+        .select(
+            "band_key", F.ceil(F.col("cnt") / cap).cast("long").alias("nsalt")
+        )
+    )
+
+
 def candidate_pairs_fid(
     signatures: DataFrame, cfg: SketchConfig,
     persisted: list | None = None,
@@ -106,75 +138,91 @@ def candidate_pairs_fid(
     salting):
 
     1. A count groupBy finds HOT band keys (> ``cfg.band_skew_cap``
-       members) and their counts. Map-side partial aggregation makes
-       this pass cheap, and the hot set (boilerplate bands) is tiny —
-       it is collected and inlined as literal map/isin expressions.
+       members) and their salt fan-out nsalt = ceil(count/cap).
     2. ONE grouped pass over (band_key, salt) emits everything else.
        Cold keys use a single salt bucket (whole group in one bounded
-       buffer, all i<j pairs). Hot keys are SALTED with a per-key
-       dynamic fan-out nsalt = ceil(count/cap), so every aggregation
-       buffer stays ~cap regardless of key degeneracy; each member
-       star-connects to its salt group's minimum and salt minima chain
-       to the band's global minimum — every member of a true over-cap
-       near-dup clique stays connected to one hub in O(group) candidate
-       edges (recall preserved; the O(group²) blowup and the silent
-       drop are both gone).
+       buffer, all i<j pairs). Hot keys are SALTED with the per-key
+       dynamic fan-out, so every aggregation buffer stays ~cap
+       regardless of key degeneracy; each member star-connects to its
+       salt group's minimum and salt minima chain to the band's global
+       minimum — every member of a true over-cap near-dup clique stays
+       connected to one hub in O(group) candidate edges (recall
+       preserved; the O(group²) blowup and the silent drop are both
+       gone).
 
     All shuffled rows are 16-byte (fid, key) pairs; strings never enter.
 
-    ``persisted``: receives the cached (post-distinct) pair frame so the
-    caller can unpersist it once downstream consumers are done.
+    ``persisted`` selects the execution mode:
+
+    - Provided (the pipeline path): the band table and the final pair
+      frame are persisted (appended to the list for the caller to
+      release) and the hot set is collected eagerly — small hot sets
+      inline as literal expressions (no broadcast-build jobs), sets
+      above ``HOT_LITERAL_MAX`` fall back to a broadcast join (plan
+      size stays bounded on degenerate corpora).
+    - None (public/ad-hoc): the plan is fully LAZY — hot classification
+      is a broadcast subquery, nothing persists, no jobs run at
+      construction time. A consumer that evaluates the result twice
+      recomputes it; persist externally for repeated consumption.
     """
     cap = cfg.band_skew_cap
-    # ONE materialization of the 16-byte band rows: the hot-count job
-    # below populates the cache, and every later pass (salted groups, hot
-    # subset) reads it — the 32-hash band projection over the signature
-    # cache runs once, not once per consumer. Spark's ReuseExchange
-    # CANNOT be relied on here (collect_list downstream is flagged
-    # non-deterministic, and broadcast subtrees were measured to
-    # re-execute: six full scans per run before this design).
-    bands = band_table(signatures, cfg, id_col="fid").persist()
-    if persisted is not None:
-        persisted.append(bands)
-    # Hot keys (> cap members) with their counts, COLLECTED: the hot set
-    # is boilerplate bands — tiny (tens to thousands of keys) — so it
-    # inlines as literal expressions instead of broadcast joins, removing
-    # every broadcast-build job and re-evaluation of the count subtree.
-    # This collect doubles as the eager materialization barrier for the
-    # band cache. At a truly degenerate corpus (millions of hot keys) the
-    # literal would bloat the plan; fall back to caring about that if a
-    # corpus ever produces one — the count query itself stays O(keys).
-    hot_rows = (
-        bands.groupBy("band_key")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > cap)
-        .collect()
-    )
-    hot_nsalt = {
-        r["band_key"]: -(-r["cnt"] // cap) for r in hot_rows
-    }  # key -> ceil(cnt/cap): per-key salt fan-out bounds every
-    #    aggregation buffer at ~cap regardless of key degeneracy
-    if hot_nsalt:
-        nsalt_map = F.create_map(
-            *[
-                F.lit(x)
-                for kv in hot_nsalt.items()
-                for x in kv
-            ]
-        )
-        nsalt_col = F.coalesce(
-            F.element_at(nsalt_map, F.col("band_key")), F.lit(1)
-        ).cast("long")
-        is_hot_col = F.element_at(
-            nsalt_map, F.col("band_key")
-        ).isNotNull()
+    bands = band_table(signatures, cfg, id_col="fid")
+    if persisted is None:
+        # Lazy public path: no collect, no persist, no construction-time
+        # jobs (candidate frames built for a single evaluation).
+        salted = _salt_by_hot_df(bands, _hot_counts(bands, cap))
     else:
-        nsalt_col = F.lit(1)
-        is_hot_col = F.lit(False)
-    salted = (
-        bands.withColumn("salt", F.pmod(F.xxhash64("fid"), nsalt_col))
-        .withColumn("is_hot", is_hot_col)
-    )
+        # ONE materialization of the 16-byte band rows: the hot-count job
+        # below populates the cache, and every later pass (salted groups,
+        # hot subset) reads it — the 32-hash band projection over the
+        # signature cache runs once, not once per consumer. Spark's
+        # ReuseExchange CANNOT be relied on here (collect_list downstream
+        # is flagged non-deterministic, and broadcast subtrees were
+        # measured to re-execute: six full scans per run before this
+        # design).
+        bands = bands.persist()
+        persisted.append(bands)
+        # Hot keys (> cap members) with their counts, COLLECTED: the hot
+        # set is boilerplate bands — typically tiny (tens to thousands of
+        # keys) — so it inlines as literal expressions, removing every
+        # broadcast-build job and re-evaluation of the count subtree.
+        # This collect doubles as the eager materialization barrier for
+        # the band cache.
+        hot_rows = (
+            bands.groupBy("band_key")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") > cap)
+            .collect()
+        )
+        hot_nsalt = {r["band_key"]: -(-r["cnt"] // cap) for r in hot_rows}
+        if len(hot_nsalt) > HOT_LITERAL_MAX:
+            # Degenerate corpus: literal inlining would bloat the plan;
+            # ship the collected counts back as a broadcast hot table.
+            hot_df = bands.sparkSession.createDataFrame(
+                [(k, int(v)) for k, v in hot_nsalt.items()],
+                "band_key long, nsalt long",
+            )
+            salted = _salt_by_hot_df(bands, hot_df)
+        else:
+            if hot_nsalt:
+                nsalt_map = F.create_map(
+                    *[F.lit(x) for kv in hot_nsalt.items() for x in kv]
+                )
+                nsalt_col = F.coalesce(
+                    F.element_at(nsalt_map, F.col("band_key")), F.lit(1)
+                ).cast("long")
+                is_hot_col = F.element_at(
+                    nsalt_map, F.col("band_key")
+                ).isNotNull()
+            else:
+                nsalt_col = F.lit(1)
+                is_hot_col = F.lit(False)
+            salted = (
+                bands.withColumn(
+                    "salt", F.pmod(F.xxhash64("fid"), nsalt_col)
+                )
+                .withColumn("is_hot", is_hot_col)
+            )
     # ONE groupBy shuffle keyed (band_key, salt): cold keys (nsalt=1) keep
     # their whole member list in a single bounded buffer; hot keys split
     # into ~cap-sized salt groups. Downstream, cold groups emit all i<j
@@ -216,12 +264,10 @@ def candidate_pairs_fid(
     )
     # Salt-group minima chain to the band's global minimum so the hot
     # key's salt groups stay one component. Recomputed from the HOT
-    # subset of the cached band table (map-side isin filter on the
-    # literal hot set — only hot rows shuffle) rather than from the
+    # subset of the (cached, in the eager path) band table — a map-side
+    # is_hot filter, so only hot rows shuffle — rather than from the
     # groups exchange: keeps the big exchange single-consumer.
-    hotb = salted.where(
-        F.col("band_key").isin(list(hot_nsalt)) if hot_nsalt else F.lit(False)
-    )
+    hotb = salted.where(F.col("is_hot"))
     sub = hotb.groupBy("band_key", "salt").agg(F.min("fid").alias("smin"))
     hub = sub.groupBy("band_key").agg(F.min("smin").alias("hub"))
     hub_edges = (
@@ -233,15 +279,16 @@ def candidate_pairs_fid(
         )
     )
     out = pairs_main.unionByName(hub_edges).distinct()
-    # Materialize the (small, post-distinct) pair set once: the cascade
-    # broadcasts it twice and ReusedExchange cannot dedupe through the
-    # non-deterministic collect_list, so an unmaterialized pair frame
-    # re-runs this whole DAG per consumer. One eager count amortizes
-    # across every downstream read; ``persisted`` receives the cache for
-    # the caller to release.
-    out = out.persist()
-    out.count()
+    # Eager pipeline path: materialize the (small, post-distinct) pair
+    # set once — the cascade broadcasts it twice and ReusedExchange
+    # cannot dedupe through the non-deterministic collect_list, so an
+    # unmaterialized pair frame re-runs this whole DAG per consumer. One
+    # eager count amortizes across every downstream read; ``persisted``
+    # receives the cache for the caller to release. Lazy public path:
+    # no persist (single-evaluation contract, see docstring).
     if persisted is not None:
+        out = out.persist()
+        out.count()
         persisted.append(out)
     return out
 

@@ -291,10 +291,21 @@ def verified_pairs_cascade(
                 )
                 yield out[small | (est >= tau - margin)]
 
-        # the scan-side attach broadcasts the pair frame twice (a- and
-        # b-side); the two broadcast exchanges canonicalize identically,
-        # so Spark's ReuseExchange builds the pair set once — no persist
-        # or eager barrier needed (a barrier here drains the cluster).
+        # The scan-side attach broadcasts the pair frame twice (a- and
+        # b-side). ReusedExchange can NOT be assumed to dedupe the two
+        # builds: a pair DAG containing collect_list (the band groupBy)
+        # is flagged non-deterministic, which disables exchange reuse —
+        # so an unmaterialized pair frame would execute its full DAG
+        # twice. The pipeline pre-persists pairs (candidate_pairs_fid
+        # eager path); for any other caller, persist here and hand the
+        # cache to ``persisted`` (or hold it for the session when no
+        # release list was provided — correctness over a leak).
+        from pyspark import StorageLevel
+
+        if pairs.storageLevel == StorageLevel.NONE:
+            pairs = pairs.persist()
+            if persisted is not None:
+                persisted.append(pairs)
         src = _with_sides(
             pairs, sigs, ["sig_perm", "simhash", "n_shingles"]
         ).select(

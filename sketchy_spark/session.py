@@ -12,6 +12,8 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+_REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parent.parent
+
 
 def _default_local_dir() -> str:
     """tmpfs spill dir only when explicitly requested or demonstrably
@@ -89,6 +91,31 @@ def get_spark(
         .config("spark.local.dir", _default_local_dir())
         .config("spark.driver.memory", os.environ.get("SKETCHY_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SKETCHY_UI", "false"))
+        # Multi-executor masters (local-cluster / standalone): executor
+        # python workers need the package on their import path — the
+        # in-repo equivalent of `spark-submit --py-files sketchy_spark.zip`
+        # (the north rule's launch form). Harmless under plain local[N].
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            str(_REPO_ROOT) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        # same allocator tuning for separate executor JVMs' python workers
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ["MALLOC_TRIM_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+            os.environ["ARROW_DEFAULT_MEMORY_POOL"],
+        )
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SKETCHY_EXECUTOR_MEM", "6g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

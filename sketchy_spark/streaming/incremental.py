@@ -138,17 +138,33 @@ def _incremental_exact_edges(
     )
 
 
+def _stage_id(stage: str) -> int:
+    return int(stage.rsplit("_", 1)[1])
+
+
 class IncrementalDedup:
     """Accumulates signatures and verified edges across arriving batches
-    through a CheckpointStore, so a killed run resumes at the last batch."""
+    through a CheckpointStore, so a killed run resumes at the last batch.
+
+    ``compact_every``: after that many batch stages accumulate beyond the
+    last compaction, fold them into one ``*_compact_NNNNN`` stage (the
+    Iceberg-snapshot analogue). Without compaction the rolling views are
+    an N-way unionByName of every batch ever ingested — N directory
+    listings + N scan legs per read, unbounded over the job's lifetime.
+    With it, a view reads 1 compact + <= compact_every tail stages.
+    Compaction appends (never rewrites): raw batch stages stay on disk,
+    so ``signatures(before=b)`` for b below the compact point still
+    resolves from them, and a compaction killed mid-write is simply
+    retried (its terminal marker is the edges_compact manifest)."""
 
     def __init__(self, spark: SparkSession, store: CheckpointStore,
-                 cfg: SketchConfig):
+                 cfg: SketchConfig, compact_every: int | None = None):
         self.spark = spark
         self.store = store
         self.cfg = cfg
+        self.compact_every = compact_every
 
-    # -- rolling views (unions of immutable batch stages) ---------------
+    # -- rolling views (compact snapshot + immutable batch tail) --------
     def _completed(self, prefix: str) -> list[str]:
         return sorted(
             m["stage"]
@@ -167,14 +183,54 @@ class IncrementalDedup:
             out = out.unionByName(d)
         return out
 
-    def signatures(self, before: int | None = None) -> DataFrame | None:
-        stages = self._completed("sig_batch_")
+    def view_stages(self, kind: str, before: int | None = None) -> list[str]:
+        """Stages a rolling view reads: the newest usable compact (one
+        folding only batches < ``before``, when given) plus the batch
+        tail after it. kind: 'sig' | 'edges'."""
+        batches = self._completed(f"{kind}_batch_")
         if before is not None:
-            stages = [s for s in stages if int(s.rsplit("_", 1)[1]) < before]
-        return self._union(stages)
+            batches = [s for s in batches if _stage_id(s) < before]
+        compacts = [
+            _stage_id(s) for s in self._completed(f"{kind}_compact_")
+            if before is None or _stage_id(s) < before
+        ]
+        if not compacts:
+            return batches
+        c = max(compacts)
+        return [f"{kind}_compact_{c:05d}"] + [
+            s for s in batches if _stage_id(s) > c
+        ]
+
+    def signatures(self, before: int | None = None) -> DataFrame | None:
+        return self._union(self.view_stages("sig", before))
 
     def edges(self) -> DataFrame | None:
-        return self._union(self._completed("edges_batch_"))
+        return self._union(self.view_stages("edges"))
+
+    # -- compaction ------------------------------------------------------
+    def compact(self) -> bool:
+        """Fold the current views into one compact stage pair; returns
+        True when a new compaction was written. Append-only and
+        idempotent: the edges_compact manifest is the terminal marker, a
+        half-written compaction (sig stored, edges missing) is redone,
+        and raw batch stages are never deleted."""
+        batches = self._completed("edges_batch_")
+        if not batches:
+            return False
+        c = _stage_id(batches[-1])
+        stage_sig = f"sig_compact_{c:05d}"
+        stage_edge = f"edges_compact_{c:05d}"
+        if self.store.is_complete(stage_edge):
+            return False
+        if len(self.view_stages("sig")) < 2:
+            return False  # nothing to fold
+        # Retry after a crash between the two writes: sig_compact is
+        # already complete and the sig view READS it — rewriting it from
+        # itself would corrupt the overwrite. Skip straight to edges.
+        if not self.store.is_complete(stage_sig):
+            self.store.write_stage(stage_sig, self.signatures())
+        self.store.write_stage(stage_edge, self.edges())
+        return True
 
     # -- ingest ----------------------------------------------------------
     def ingest_batch(self, batch_id: int, files: DataFrame) -> None:
@@ -207,6 +263,12 @@ class IncrementalDedup:
         self.store.write_stage(
             stage_edge, ver.unionByName(exact).distinct()
         )
+        if self.compact_every:
+            tail = [
+                s for s in self.view_stages("edges") if "_batch_" in s
+            ]
+            if len(tail) >= self.compact_every:
+                self.compact()
 
     def clusters(self) -> DataFrame:
         sigs = self.signatures()

@@ -201,6 +201,42 @@ def test_incremental_hot_band_new_global_min_stays_connected(spark, tmp_path):
     assert clique.cluster_id.nunique() == 1, clique.sort_values("file_id")
 
 
+def test_incremental_compaction_bounds_view_fanin(spark, tmp_path):
+    """VERDICT r2 #5: without compaction the rolling views union EVERY
+    batch stage ever ingested (N scan legs + N listings per read). With
+    ``compact_every=3`` the view must stay bounded at 1 compact + <
+    compact_every tail stages after many ingests, clusters unchanged,
+    and a compaction crash window (edges_compact marker lost) must be
+    retried idempotently."""
+    files = corpus_df(spark, 240).cache()
+    single = run_pipeline(files, CFG, with_containment=False)
+    want = _pairs(single.clusters)
+
+    store = CheckpointStore(str(tmp_path / "inc7"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG, compact_every=3)
+    batched = files.withColumn(
+        "batch", F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 8
+    ).cache()
+    for b in range(8):
+        inc.ingest_batch(b, batched.where(F.col("batch") == b).drop("batch"))
+
+    sig_stages = inc.view_stages("sig")
+    assert len(sig_stages) <= 3, sig_stages  # 1 compact + tail < 3
+    assert any("compact" in s for s in sig_stages), sig_stages
+    assert inc.signatures().count() == 240  # no dup/lost rows
+    assert _pairs(inc.clusters()) == want
+
+    # crash window: terminal compact marker lost -> retried, same view
+    last_compact = [s for s in inc.view_stages("edges") if "compact" in s]
+    if last_compact:
+        store._manifest_path(
+            last_compact[0].replace("sig_", "edges_")
+        ).unlink(missing_ok=True)
+        assert inc.compact() is True
+        assert inc.signatures().count() == 240
+        assert _pairs(inc.clusters()) == want
+
+
 def test_incremental_appends_only(spark, tmp_path):
     """O(batch) ingest: each batch adds exactly two immutable stages and
     never rewrites earlier ones (VERDICT r1 #7)."""

@@ -1,9 +1,21 @@
 #!/usr/bin/env python
-"""Per-stage scaling profile: run the dedup pipeline's stages separately at
-two parallelism levels and report each stage's wall time + scaling ratio.
+"""Two-level scaling profile of the REAL pipeline with a driver-gap and
+per-stage task-time decomposition (VERDICT r2: name the non-scaling
+stage, don't guess).
+
+For each parallelism level it runs ``run_pipeline`` exactly as bench.py
+does, then pulls the Spark REST API (/api/v1) for:
+
+- per-job submission/completion -> **driver gaps**: wall time where NO
+  job is running = serial driver work + scheduling, the Amdahl term a
+  N-vs-4N ratio punishes (it does not shrink with executors);
+- per-stage executorRunTime / executorCpuTime / GC / shuffle bytes ->
+  task-time totals. If total CPU time is level-invariant but wall is
+  not 4x lower, the residual is contention or scheduling, not plan
+  shape.
 
 Usage: python tools/profile_scaling.py [N] [levels...]
-  e.g. python tools/profile_scaling.py 100000 8 32
+  e.g. python tools/profile_scaling.py 1600000 8 32
 """
 
 from __future__ import annotations
@@ -11,87 +23,147 @@ from __future__ import annotations
 import json
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1600000
 LEVELS = sys.argv[2:] or ["8", "32"]
-CORPUS = str(Path(__file__).resolve().parent.parent / ".scratch" / f"bench_corpus_{N}")
+CORPUS = str(
+    Path(__file__).resolve().parent.parent / ".scratch" / f"bench_corpus_{N}"
+)
+UI_PORT = 4049
 
 
-def profile(cpus: str) -> dict[str, float]:
+def _rest(path: str):
+    with urllib.request.urlopen(
+        f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def _iso_ms(ts: str) -> float:
+    from datetime import datetime
+
+    return datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%fGMT").timestamp()
+
+
+def profile(cpus: str) -> dict:
+    import os
+
     from sketchy_spark.config import SketchConfig
-    from sketchy_spark.operators.cluster import assign_clusters
-    from sketchy_spark.operators.lsh import candidate_pairs_fid, exact_dup_edges
-    from sketchy_spark.operators.sketch import sketch_files
-    from sketchy_spark.operators.verify import verified_pairs_cascade
+    from sketchy_spark.pipeline import run_pipeline
     from sketchy_spark.session import get_spark
 
+    os.environ.setdefault("SKETCHY_DRIVER_MEM", "24g")
     spark = get_spark(
         f"profile-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(int(cpus) * 2, 8),
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
     )
     cfg = SketchConfig()
     files = spark.read.parquet(CORPUS)
 
-    # warmup (codegen caches, python workers)
-    from sketchy_spark.pipeline import run_pipeline
+    # warmup (codegen caches, python workers, first-touch)
     run_pipeline(files.limit(2000), cfg, with_containment=False).clusters.count()
 
-    t: dict[str, float] = {}
+    app_id = spark.sparkContext.applicationId
+    jobs_before = {j["jobId"] for j in _rest(f"applications/{app_id}/jobs")}
+
     t0 = time.time()
+    res = run_pipeline(files, cfg, with_containment=False)
+    res.clusters.groupBy().count().collect()
+    wall = time.time() - t0
+    res.unpersist()
 
-    signatures = sketch_files(files, cfg, with_sig=False, with_fp=False).cache()
-    n_files = signatures.count()
-    t["sketch"] = time.time() - t0
+    jobs = [
+        j for j in _rest(f"applications/{app_id}/jobs")
+        if j["jobId"] not in jobs_before and j["status"] != "RUNNING"
+    ]
+    jobs.sort(key=lambda j: j["jobId"])
+    spans = [
+        (_iso_ms(j["submissionTime"]), _iso_ms(j["completionTime"]))
+        for j in jobs
+    ]
+    # driver gaps: wall not covered by ANY running job (merge intervals)
+    covered = 0.0
+    if spans:
+        spans.sort()
+        cur_lo, cur_hi = spans[0]
+        for lo, hi in spans[1:]:
+            if lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        covered += cur_hi - cur_lo
+    gap = wall - covered
 
-    t1 = time.time()
-    candidates = candidate_pairs_fid(signatures, cfg)
-    verified = verified_pairs_cascade(
-        candidates, signatures, cfg, files=files, n_files=n_files
-    )
-    # cascade internals already barrier on coarse.count(); measure through
-    # the full verified materialization
-    n_ver = verified.count()
-    t["cand_verify"] = time.time() - t1
-
-    t2 = time.time()
-    exact = exact_dup_edges(signatures)
-    edges = (
-        exact.unionByName(verified.select("a_id", "b_id")).distinct().persist()
-    )
-    n_edges = edges.count()
-    t["edges"] = time.time() - t2
-
-    t3 = time.time()
-    clusters = assign_clusters(signatures, edges)
-    clusters.groupBy().count().collect()
-    t["cluster"] = time.time() - t3
-
-    t["total"] = time.time() - t0
-    t["_n_ver"] = n_ver
-    t["_n_edges"] = n_edges
+    stages = _rest(f"applications/{app_id}/stages?status=complete")
+    agg = {
+        "executorRunTime_s": 0.0,
+        "executorCpuTime_s": 0.0,
+        "jvmGcTime_s": 0.0,
+        "shuffleWrite_mb": 0.0,
+        "shuffleRead_mb": 0.0,
+        "input_mb": 0.0,
+    }
+    by_stage = []
+    for st in stages:
+        agg["executorRunTime_s"] += st["executorRunTime"] / 1e3
+        agg["executorCpuTime_s"] += st["executorCpuTime"] / 1e9
+        agg["jvmGcTime_s"] += st.get("jvmGcTime", 0) / 1e3
+        agg["shuffleWrite_mb"] += st["shuffleWriteBytes"] / 1e6
+        agg["shuffleRead_mb"] += st["shuffleReadBytes"] / 1e6
+        agg["input_mb"] += st["inputBytes"] / 1e6
+        by_stage.append(
+            {
+                "id": st["stageId"],
+                "name": st["name"].split("\n")[0][:48],
+                "tasks": st["numCompleteTasks"],
+                "run_s": round(st["executorRunTime"] / 1e3, 1),
+                "cpu_s": round(st["executorCpuTime"] / 1e9, 1),
+            }
+        )
+    by_stage.sort(key=lambda s: -s["run_s"])
+    out = {
+        "wall_s": round(wall, 1),
+        "driver_gap_s": round(gap, 1),
+        "n_jobs": len(jobs),
+        **{k: round(v, 1) for k, v in agg.items()},
+        "core_idle_s": round(wall * int(cpus) - agg["executorRunTime_s"], 1),
+        "top_stages": by_stage[:10],
+    }
     spark.stop()
-    return t
+    return out
 
 
 def main() -> None:
     results = {}
     for cpus in LEVELS:
         results[cpus] = profile(cpus)
-        print(f"local[{cpus}]: " + json.dumps(
-            {k: round(v, 2) for k, v in results[cpus].items()}), flush=True)
+        top = results[cpus].pop("top_stages")
+        print(f"local[{cpus}]: {json.dumps(results[cpus])}", flush=True)
+        for s in top:
+            print(f"  stage {s['id']:>4} run={s['run_s']:>7.1f}s "
+                  f"cpu={s['cpu_s']:>7.1f}s tasks={s['tasks']:>4} {s['name']}")
+        results[cpus]["top_stages"] = top
     if len(LEVELS) == 2:
         lo, hi = LEVELS
         factor = int(hi) / int(lo)
-        print("\nstage            lo(s)    hi(s)   speedup   eff")
-        for k in results[lo]:
-            if k.startswith("_"):
-                continue
-            sp = results[lo][k] / max(results[hi][k], 1e-9)
-            print(f"{k:<15} {results[lo][k]:>7.2f} {results[hi][k]:>7.2f} "
-                  f"{sp:>8.2f} {sp / factor:>6.3f}")
+        wlo, whi = results[lo]["wall_s"], results[hi]["wall_s"]
+        print(f"\nwall {wlo:.1f} -> {whi:.1f}  speedup {wlo / whi:.2f}  "
+              f"eff {(wlo / whi) / factor:.3f}")
+        print(f"driver gaps: {results[lo]['driver_gap_s']:.1f}s (lo) "
+              f"{results[hi]['driver_gap_s']:.1f}s (hi)")
+        print(f"executor CPU: {results[lo]['executorCpuTime_s']:.1f}s (lo) "
+              f"{results[hi]['executorCpuTime_s']:.1f}s (hi)")
+        print(f"executor run: {results[lo]['executorRunTime_s']:.1f}s (lo) "
+              f"{results[hi]['executorRunTime_s']:.1f}s (hi)")
 
 
 if __name__ == "__main__":
