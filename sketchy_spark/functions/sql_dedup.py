@@ -221,7 +221,9 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.bit_count(F.col("a_sim").bitwiseXOR("b_sim")).alias("hamming"),
+            F.bit_count(
+                F.col("a_sim").bitwiseXOR(F.col("b_sim"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )

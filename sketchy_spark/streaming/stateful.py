@@ -231,7 +231,7 @@ def streaming_ranked_snapshots(
     shared = stream.mapInPandas(
         _shared_vs_refs(spark, ref_signatures, cfg), schema=SHARED_SCHEMA
     )
-    snaps = shared.groupBy(F.lit(1).alias("g")).applyInPandasWithState(
+    snaps = shared.withColumn("g", F.lit(1)).groupBy("g").applyInPandasWithState(
         _snapshot_state_fn(top),
         outputStructType=SNAPSHOT_SCHEMA,
         stateStructType=(
