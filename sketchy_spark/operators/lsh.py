@@ -187,7 +187,16 @@ def candidate_pairs_fid(
         # keys) — so it inlines as literal expressions, removing every
         # broadcast-build job and re-evaluation of the count subtree.
         # This collect doubles as the eager materialization barrier for
-        # the band cache.
+        # the band cache AND (through it) the caller's signature cache —
+        # it is deliberately the pipeline's FIRST action, so a single job
+        # covers sketch UDF + cache write + band shuffle + hot scan; the
+        # pipeline's n_files count afterwards reads the populated cache
+        # (memory scan, not a second UDF pass). NOTE a tempting fusion —
+        # unioning a global-count branch onto this collect — re-executes
+        # the whole sketch scan instead: mapInPandas subtrees are
+        # non-deterministic, so Spark will not reuse their exchanges
+        # across union branches, and the cache is still cold (measured:
+        # input bytes 12.8 GB -> 21 GB). Keep this single-branch.
         hot_rows = (
             bands.groupBy("band_key")
             .agg(F.count("*").alias("cnt"))

@@ -84,17 +84,14 @@ def run_pipeline(
     signatures = with_fid(
         sketch_files(files, cfg, with_sig=False, with_fp=with_containment)
     )
-    n_files = None
     if cache_signatures:
         # signatures feed 3+ downstream stages; recomputing the UDF stage
-        # per consumer would triple the dominant cost. Materialize EAGERLY:
-        # AQE submits query-stage jobs concurrently, and concurrent
-        # consumers of a lazily-cached frame each run their own duplicate
-        # UDF evaluation (observed: 2x full sketch scans back to back).
-        # The count doubles as the cascade's resident-broadcast sizing —
-        # ONE barrier, not two.
+        # per consumer would triple the dominant cost. The cache is
+        # populated by candidate_pairs_fid's hot-key collect — the FIRST
+        # action below — in the same job that shuffles the band table, so
+        # no separate eager count pass runs (one barrier fewer; that job
+        # also reports n_files for the cascade's resident sizing).
         signatures = signatures.cache()
-        n_files = signatures.count()
 
     # The whole pair/edge flow stays in fid longs (16-byte shuffle keys,
     # operators/lsh.py); file_id strings attach once, to final outputs.
@@ -102,6 +99,9 @@ def run_pipeline(
     # candidate pairs, coarse estimates) so unpersist() can release them.
     internal: list[DataFrame] = []
     fid_candidates = candidate_pairs_fid(signatures, cfg, persisted=internal)
+    # the cache is populated by the candidate stage's first action, so
+    # this count is a memory scan (cheap), not a second sketch pass
+    n_files = signatures.count() if cache_signatures else None
     verified_fid = verified_pairs_cascade(
         fid_candidates, signatures, cfg, files=files, n_files=n_files,
         attach_ids=False, persisted=internal,

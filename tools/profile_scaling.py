@@ -29,11 +29,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1600000
+# level spec: "8" (local[8]) or "local-cluster[4,4,11264]" (total cores
+# inferred from executors x cores-per-executor)
 LEVELS = sys.argv[2:] or ["8", "32"]
 CORPUS = str(
     Path(__file__).resolve().parent.parent / ".scratch" / f"bench_corpus_{N}"
 )
 UI_PORT = 4049
+
+
+def _spec(level: str) -> tuple[str, int]:
+    """(master, total_cores) from a level spec."""
+    if level.startswith("local-cluster["):
+        n_exec, cores = map(int, level.split("[")[1].split(",")[:2])
+        return level, n_exec * cores
+    return f"local[{level}]", int(level)
 
 
 def _rest(path: str):
@@ -57,9 +67,10 @@ def profile(cpus: str) -> dict:
     from sketchy_spark.session import get_spark
 
     os.environ.setdefault("SKETCHY_DRIVER_MEM", "24g")
+    master, total_cores = _spec(cpus)
     spark = get_spark(
-        f"profile-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus) * 2, 8),
+        f"profile-{cpus}", master=master,
+        shuffle_partitions=max(total_cores * 2, 8),
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
@@ -103,6 +114,32 @@ def profile(cpus: str) -> dict:
         covered += cur_hi - cur_lo
     gap = wall - covered
 
+    # top inter-job gaps: which job boundary eats driver time
+    gaps = []
+    for i in range(1, len(spans)):
+        g = spans[i][0] - spans[i - 1][1]
+        if g > 0.2:
+            gaps.append(
+                {
+                    "after_job": jobs[i - 1]["jobId"],
+                    "before_job": jobs[i]["jobId"],
+                    "gap_s": round(g, 2),
+                    "next_desc": (jobs[i].get("description") or jobs[i]["name"])[:60],
+                }
+            )
+    gaps.sort(key=lambda x: -x["gap_s"])
+    if os.environ.get("PROFILE_DUMP_JOBS"):
+        prev_end = None
+        for j, (slo, shi) in zip(jobs, spans):
+            g = slo - prev_end if prev_end is not None else 0.0
+            prev_end = shi
+            print(
+                f"  job {j['jobId']:>3} dur={shi - slo:>6.2f}s "
+                f"gap_before={g:>5.2f}s "
+                f"{(j.get('description') or j['name'])[:90]}",
+                flush=True,
+            )
+
     stages = _rest(f"applications/{app_id}/stages?status=complete")
     agg = {
         "executorRunTime_s": 0.0,
@@ -135,8 +172,11 @@ def profile(cpus: str) -> dict:
         "driver_gap_s": round(gap, 1),
         "n_jobs": len(jobs),
         **{k: round(v, 1) for k, v in agg.items()},
-        "core_idle_s": round(wall * int(cpus) - agg["executorRunTime_s"], 1),
+        "core_idle_s": round(
+            wall * total_cores - agg["executorRunTime_s"], 1
+        ),
         "top_stages": by_stage[:10],
+        "top_gaps": gaps[:6],
     }
     spark.stop()
     return out
@@ -151,10 +191,13 @@ def main() -> None:
         for s in top:
             print(f"  stage {s['id']:>4} run={s['run_s']:>7.1f}s "
                   f"cpu={s['cpu_s']:>7.1f}s tasks={s['tasks']:>4} {s['name']}")
+        for g in results[cpus].pop("top_gaps"):
+            print(f"  gap {g['gap_s']:>5.2f}s before job {g['before_job']}"
+                  f" ({g['next_desc']})")
         results[cpus]["top_stages"] = top
     if len(LEVELS) == 2:
         lo, hi = LEVELS
-        factor = int(hi) / int(lo)
+        factor = _spec(hi)[1] / _spec(lo)[1]
         wlo, whi = results[lo]["wall_s"], results[hi]["wall_s"]
         print(f"\nwall {wlo:.1f} -> {whi:.1f}  speedup {wlo / whi:.2f}  "
               f"eff {(wlo / whi) / factor:.3f}")
