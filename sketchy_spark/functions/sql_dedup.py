@@ -180,15 +180,20 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     n_bands = max_hamming + 1  # pigeonhole: <= 3 flipped bits, 4 bands
     bits = 16 // n_bands
-    # simhash16 is ONE deterministic sum-aggregate; its shuffle exchange
-    # is shared by all three consumers below via ReusedExchange (unlike
-    # collect_list plans, deterministic aggregates canonicalize). The
-    # band join itself is SLIM — (doc_id, band, key) rows only; dragging
-    # simhash through the 4-way join into first() aggregates (r2 plan)
-    # tripled the join width and cost 6x wall locally.
+    # The simhash16 aggregate (word explode + md5 oracle-parity hash +
+    # 16 bit-sums) is the measured floor of this query (~7s at sf0.1,
+    # regardless of join shape) — so the join must consume it ONCE.
+    # simhash rides along through the band self-join and the distinct
+    # (functionally dependent on doc_id, so distinct over the extra two
+    # longs dedupes identically); the two join sides are canonically
+    # identical subtrees that AQE stage-reuses at runtime. r2's plan
+    # aggregated first(simhash) post-join (6x wall); a post-distinct
+    # attach (r3 first cut) added two MORE consumers of the aggregate,
+    # each a full recompute — measured 4 scans, zero ReusedExchange.
     s = simhash16(docs)
     bands = s.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -202,22 +207,25 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(F.col("doc_id").alias("a_id"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band", "key")
-    pairs = (
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"),
+        "band", "key",
+    )
+    return (
         a.join(b, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "a_sim", "b_sim")
         .distinct()
-    )
-    # attach the two simhash values AFTER the distinct (post-dedup pair
-    # set is orders of magnitude smaller than the band-collision stream)
-    sa = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
-    sb = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
-    return (
-        pairs.join(sa, "a_id")
-        .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
