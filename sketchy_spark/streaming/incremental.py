@@ -11,8 +11,11 @@ batches the clusters equal the single-shot run on the union.
 
 Write I/O is O(batch), not O(corpus): every batch APPENDS two immutable
 stages — ``sig_batch_NNNNN`` and ``edges_batch_NNNNN`` — and the rolling
-views (:meth:`IncrementalDedup.signatures` / :meth:`edges`) are unions of
-completed batch stages. Nothing is ever rewritten, and batch completion
+views (:meth:`IncrementalDedup.signatures` / :meth:`edges`) read the
+newest ``*_compact_NNNNN`` snapshot plus the batch tail after it
+(``compact_every`` bounds the tail; see the class docstring — without
+compaction the union fan-in grows with every ingest). Nothing is ever
+rewritten, and batch completion
 has ONE terminal marker (the edges stage manifest), so a run killed at
 any point resumes idempotently: re-ingesting a finished batch is a no-op,
 and a batch that died between its two writes recomputes edges from its
