@@ -29,14 +29,20 @@ CFG = SketchConfig()
 
 # One pipeline run shared by the three planted_* queries (same 400-file
 # corpus; clusters/verified are identical with or without the containment
-# pass, so one containment-enabled run serves all three). Keyed per
-# SparkSession so a fresh driver session recomputes.
-_PLANTED: dict[int, object] = {}
+# pass, so one containment-enabled run serves all three). Keyed by the
+# session's applicationId — stable for a session's lifetime, never reused
+# across sessions (ADVICE r3: ``id(session)`` can be recycled by CPython
+# after a stop+gc, returning frames bound to a dead session). Evicting an
+# old entry releases its persisted frames.
+_PLANTED: dict[str, object] = {}
 
 
 def _planted_pipeline(s: SparkSession):
-    key = id(s)
+    key = s.sparkContext.applicationId
     if key not in _PLANTED:
+        for old in _PLANTED.values():
+            old.unpersist()  # PipelineResult.unpersist swallows dead-session errors
+        _PLANTED.clear()
         from sketchy_spark.corpus import corpus_df
         from sketchy_spark.pipeline import run_pipeline
 

@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame
 from sketchy_spark.config import SketchConfig
 
 
+# Caches persisted by verified_pairs_cascade for callers that provided no
+# ``persisted`` release list (ad-hoc / public use): the persists are
+# required for correctness (see the in-function comments on exchange
+# reuse), so rather than leaking anonymously they are tracked here.
+# Long-lived sessions reclaim executor storage with
+# :func:`release_cascade_caches`.
+_CASCADE_CACHES: list[DataFrame] = []
+
+
+def release_cascade_caches() -> None:
+    """Unpersist every cache the cascade retained on behalf of callers
+    that passed no ``persisted`` list (ADVICE r3: repeated ad-hoc calls in
+    a long-lived session otherwise accumulate unreleasable caches)."""
+    while _CASCADE_CACHES:
+        df = _CASCADE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _key_cols(pairs: DataFrame) -> tuple[str, str, str, str]:
     """(a_col, b_col, signature key col, spark type) by pair key mode."""
     if "a_fid" in pairs.columns:
@@ -176,6 +197,10 @@ def verified_pairs_cascade(
     each driver barrier is serial time that caps scaling efficiency.
     ``resident``: force the broadcast (True) or scan-side join (False)
     stage-1 attach; default picks by table size.
+    ``persisted``: list receiving every frame this function persists, for
+    the caller to unpersist. Without it the caches are tracked in a
+    module registry instead — reclaim with :func:`release_cascade_caches`
+    in long-lived sessions.
     """
     tau = cfg.jaccard_threshold
     num_perm = cfg.num_perm
@@ -298,14 +323,16 @@ def verified_pairs_cascade(
         # so an unmaterialized pair frame would execute its full DAG
         # twice. The pipeline pre-persists pairs (candidate_pairs_fid
         # eager path); for any other caller, persist here and hand the
-        # cache to ``persisted`` (or hold it for the session when no
-        # release list was provided — correctness over a leak).
+        # cache to ``persisted`` (or track it in the module registry when
+        # no release list was provided — correctness over a leak, but a
+        # reclaimable one: see release_cascade_caches).
         from pyspark import StorageLevel
 
         if pairs.storageLevel == StorageLevel.NONE:
             pairs = pairs.persist()
-            if persisted is not None:
-                persisted.append(pairs)
+            (persisted if persisted is not None else _CASCADE_CACHES).append(
+                pairs
+            )
         src = _with_sides(
             pairs, sigs, ["sig_perm", "simhash", "n_shingles"]
         ).select(
@@ -324,8 +351,7 @@ def verified_pairs_cascade(
     # query stages; AQE materializes them concurrently, and concurrent
     # consumers of a lazily-persisted frame each run their own evaluation.
     coarse.count()
-    if persisted is not None:
-        persisted.append(coarse)
+    (persisted if persisted is not None else _CASCADE_CACHES).append(coarse)
     accepted = coarse.where(
         (~F.col("needs_exact")) & (F.col("jaccard") >= tau + margin)
     ).drop("needs_exact")

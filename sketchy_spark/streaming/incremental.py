@@ -212,27 +212,64 @@ class IncrementalDedup:
 
     # -- compaction ------------------------------------------------------
     def compact(self) -> bool:
-        """Fold the current views into one compact stage pair; returns
-        True when a new compaction was written. Append-only and
-        idempotent: the edges_compact manifest is the terminal marker, a
-        half-written compaction (sig stored, edges missing) is redone,
-        and raw batch stages are never deleted."""
-        batches = self._completed("edges_batch_")
-        if not batches:
+        """Fold batches into one compact stage pair; returns True when a
+        new compaction was written. Append-only and idempotent: the
+        edges_compact manifest is the terminal marker, a half-written
+        compaction (sig stored, edges missing) is finished on retry, and
+        raw batch stages are never deleted.
+
+        The fold point c is the end of the CONTIGUOUS fully-ingested
+        prefix: the largest batch id such that every id from the smallest
+        ever seen through c has a completed edges stage (edges is each
+        batch's terminal marker, so its sig stage is complete too). Both
+        compact inputs are built from ``view_stages(kind, before=c+1)``,
+        so exactly batches <= c are folded. Batches beyond c — a sig
+        written by a run that crashed before its edges marker, or an
+        out-of-order ingest — stay in the rolling tail (folding
+        sig_batch_k with k > c double-counted batch k in every view:
+        compact_c contained its rows AND view_stages appended the batch
+        as tail). An id GAP below the newest complete batch blocks
+        compaction past the gap entirely, so a backfilled batch can never
+        land below an existing compact point, where the rolling views
+        would silently drop it."""
+        sig_ids = {_stage_id(s) for s in self._completed("sig_batch_")}
+        edge_ids = {_stage_id(s) for s in self._completed("edges_batch_")}
+        all_ids = sig_ids | edge_ids
+        if not all_ids:
             return False
-        c = _stage_id(batches[-1])
+        c = None
+        i = min(all_ids)
+        while i in edge_ids:
+            c = i
+            i += 1
+        if c is None:
+            return False
         stage_sig = f"sig_compact_{c:05d}"
         stage_edge = f"edges_compact_{c:05d}"
         if self.store.is_complete(stage_edge):
             return False
-        if len(self.view_stages("sig")) < 2:
+        # Crash-retry: sig_compact_c stored, edges_compact_c missing.
+        # Finish the edges write REGARDLESS of tail length — the old
+        # order put the 'nothing to fold' guard first, which returned
+        # False when no newer batches existed and left the sig compact
+        # orphaned (the docstring's idempotent-retry contract only held
+        # when newer batches had already arrived). Note sig_compact_c is
+        # complete here, so the sig view already reads it — it is never
+        # rewritten from itself.
+        if self.store.is_complete(stage_sig):
+            self.store.write_stage(
+                stage_edge,
+                self._union(self.view_stages("edges", before=c + 1)),
+            )
+            return True
+        if len(self.view_stages("sig", before=c + 1)) < 2:
             return False  # nothing to fold
-        # Retry after a crash between the two writes: sig_compact is
-        # already complete and the sig view READS it — rewriting it from
-        # itself would corrupt the overwrite. Skip straight to edges.
-        if not self.store.is_complete(stage_sig):
-            self.store.write_stage(stage_sig, self.signatures())
-        self.store.write_stage(stage_edge, self.edges())
+        self.store.write_stage(
+            stage_sig, self._union(self.view_stages("sig", before=c + 1))
+        )
+        self.store.write_stage(
+            stage_edge, self._union(self.view_stages("edges", before=c + 1))
+        )
         return True
 
     # -- ingest ----------------------------------------------------------

@@ -237,6 +237,74 @@ def test_incremental_compaction_bounds_view_fanin(spark, tmp_path):
         assert _pairs(inc.clusters()) == want
 
 
+def test_compaction_excludes_batches_past_fold_point(spark, tmp_path):
+    """ADVICE r3 (medium): a sig batch BEYOND the last fully-ingested
+    batch (crash between ingest_batch's two writes) must not be folded
+    into the compact — folding it double-counted the batch in every
+    rolling view (the compact held its rows AND view_stages appended the
+    batch itself as tail)."""
+    files = corpus_df(spark, 240).cache()
+    store = CheckpointStore(str(tmp_path / "inc8"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    batched = files.withColumn(
+        "batch", F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 3
+    ).cache()
+    for b in range(3):
+        inc.ingest_batch(b, batched.where(F.col("batch") == b).drop("batch"))
+    # crash window on the NEWEST batch: sig stored, edges marker lost
+    store._manifest_path("edges_batch_00002").unlink()
+    assert inc.compact() is True
+    # fold point is batch 1; batch 2's sig stays in the rolling tail
+    assert inc.view_stages("sig") == ["sig_compact_00001", "sig_batch_00002"]
+    assert inc.signatures().count() == 240  # every row exactly once
+    # idempotent re-ingest of the crashed batch restores full equality
+    inc.ingest_batch(2, batched.where(F.col("batch") == 2).drop("batch"))
+    assert inc.signatures().count() == 240
+    single = run_pipeline(files, CFG, with_containment=False)
+    assert _pairs(inc.clusters()) == _pairs(single.clusters)
+
+
+def test_compaction_orphan_sig_retry_without_new_batches(spark, tmp_path):
+    """ADVICE r3: a compaction killed between its two writes must be
+    completable on retry even when NO new batches arrive afterwards (the
+    old 'nothing to fold' guard ran first and returned False, leaving
+    the sig compact permanently orphaned)."""
+    files = corpus_df(spark, 160).cache()
+    store = CheckpointStore(str(tmp_path / "inc9"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    inc.ingest_batch(0, files.limit(80))
+    inc.ingest_batch(1, files.subtract(files.limit(80)))
+    want = _pairs(inc.clusters())
+    assert inc.compact() is True
+    # crash window: edges_compact marker lost; no further batches arrive
+    store._manifest_path("edges_compact_00001").unlink()
+    assert inc.compact() is True  # retry completes the orphan
+    assert inc.view_stages("edges") == ["edges_compact_00001"]
+    assert inc.signatures().count() == 160
+    assert _pairs(inc.clusters()) == want
+
+
+def test_compaction_refuses_past_id_gap(spark, tmp_path):
+    """A batch-id gap (out-of-order / pending backfill ingest) blocks
+    compaction past the gap: a compact above it would make a batch
+    backfilled into the gap invisible to every rolling view."""
+    files = corpus_df(spark, 150).cache()
+    store = CheckpointStore(str(tmp_path / "incA"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    batched = files.withColumn(
+        "batch", F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 3
+    ).cache()
+    for b, bid in ((0, 0), (1, 1), (2, 5)):  # ids 2-4 pending backfill
+        inc.ingest_batch(
+            bid, batched.where(F.col("batch") == b).drop("batch")
+        )
+    assert inc.compact() is True  # folds the contiguous prefix only
+    assert inc.view_stages("sig") == ["sig_compact_00001", "sig_batch_00005"]
+    assert inc.signatures().count() == 150
+    # backfill lands in the gap and stays visible (above the compact)
+    assert inc.compact() is False  # nothing new contiguous to fold
+
+
 def test_incremental_appends_only(spark, tmp_path):
     """O(batch) ingest: each batch adds exactly two immutable stages and
     never rewrites earlier ones (VERDICT r1 #7)."""
