@@ -396,12 +396,24 @@ def oracle_sql() -> dict[str, str]:
                join c cb on p.b_id = cb.doc_id
         where shared::DOUBLE / (ca.n + cb.n - shared) >= 0.5
     """
-    perm_h = _DH.format(x="concat(perm::VARCHAR, ':', shingle)")
+    # One md5 per shingle + per-perm linear mixes of its 30-bit halves —
+    # the identical constants and arithmetic as sql_dedup.perm_hash_cols
+    # (exact int64 in both engines; fully parenthesized for precedence).
+    permvals = ", ".join(
+        f"({p}, {a}, {b}, {c})"
+        for p, (a, b, c) in enumerate(sd.PERM_MIX[:16])
+    )
+    mix = (
+        f"(((pa::BIGINT * (h & {sd._M30})) + (pb::BIGINT * (h >> 30))"
+        f" + pc::BIGINT) & {sd._M60})"
+    )
     _MINHASH = f"""
         with w as (select doc_id, {_DW} as ws from documents),
         s as (select doc_id, unnest({_SHD}) as shingle from w),
-        sig as (select doc_id, perm::INT as perm, min({perm_h}) as minhash
-                from s cross join (select unnest(range(16)) as perm)
+        hs as (select doc_id, {_DH.format(x="shingle")} as h from s),
+        sig as (select doc_id, perm::INT as perm, min({mix}) as minhash
+                from hs cross join (values {permvals})
+                     as pm(perm, pa, pb, pc)
                 group by 1, 2)
     """
     o["minhash_signatures"] = _MINHASH + "select doc_id, perm, minhash from sig"

