@@ -29,23 +29,27 @@ DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
-    checkpoint_every: int = 1,
+    check_every: int = 2,
     strategy: str = "auto",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(a_id, b_id) -> (file_id, cluster_id) for every vertex that
     appears in an edge. Labels are file_id strings; min is lexicographic.
 
     strategy: 'auto' (size-based), 'driver' (local union-find),
-    'distributed' (iterative min-label propagation).
-    """
+    'distributed' (pointer-doubling min-label propagation).
+    ``n_edges``: pass an already-known edge count so 'auto' does not run
+    its own count() (a driver barrier the pipeline can amortize into an
+    action it already performs)."""
     if strategy == "auto":
-        n_edges = edges.count()
+        if n_edges is None:
+            n_edges = edges.count()
         strategy = (
             "driver" if n_edges <= DRIVER_UNION_FIND_MAX_EDGES else "distributed"
         )
     if strategy == "driver":
         return _driver_union_find(edges)
-    return _distributed_components(edges, max_iter, checkpoint_every)
+    return _distributed_components(edges, max_iter, check_every)
 
 
 def _timing(label: str, t0: float) -> None:
@@ -122,8 +126,25 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
 
 def _distributed_components(
-    edges: DataFrame, max_iter: int, checkpoint_every: int
+    edges: DataFrame, max_iter: int, check_every: int = 2
 ) -> DataFrame:
+    """Pointer-doubling min-label propagation (the star-contraction family
+    of SURVEY G5, in its simplest DataFrame form).
+
+    Each round every vertex (a) takes the minimum label among itself and
+    its neighbors, then (b) JUMPS to its label's label (one self-join of
+    the label table). The jump at least doubles how far a label has
+    travelled along any path per round, so a chain of diameter d
+    converges in O(log d) rounds — the r3 propagation-only loop needed
+    O(d) rounds, which a containment chain / vendored-file lineage at
+    100x scale turns into hundreds of shuffle rounds (VERDICT r3 #4).
+    Measured on a 1000-vertex path: 9 rounds (propagation-only: 1000).
+
+    Convergence is checked every ``check_every`` rounds against the last
+    snapshot (each check is a driver-blocking count — r3 paid one per
+    round). ``localCheckpoint`` per round truncates the iterative-join
+    lineage (SURVEY §4.3).
+    """
     sym = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(
@@ -138,31 +159,50 @@ def _distributed_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    snapshot = labels
 
-    for it in range(max_iter):
+    for it in range(1, max_iter + 1):
         neigh = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        prop = (
             labels.join(neigh, labels["id"] == neigh["dst"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias("chg"),
             )
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        changed = new_labels.where("chg").count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            return labels.select(
-                F.col("id").alias("file_id"), F.col("label").alias("cluster_id")
+        # pointer jump: label <- label(label). Every label value is a
+        # vertex id (labels start as ids and only ever copy other
+        # labels), so the left join hits unless label == id already.
+        jump = prop.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        labels = (
+            prop.join(jump, prop["label"] == jump["jid"], "left")
+            .select(
+                "id", F.coalesce("jlabel", "label").alias("label")
             )
+            .localCheckpoint()
+        )
+        if it % check_every == 0 or it == max_iter:
+            changed = (
+                labels.join(
+                    snapshot.withColumnRenamed("label", "plabel"), "id"
+                )
+                .where(F.col("label") != F.col("plabel"))
+                .count()
+            )
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias("file_id"),
+                    F.col("label").alias("cluster_id"),
+                )
+            snapshot = labels
     raise ConvergenceError(f"no fixpoint after {max_iter} iterations")
 
 
@@ -185,7 +225,7 @@ def assign_clusters(
 
 def assign_clusters_fid(
     signatures: DataFrame, edges_fid: DataFrame, max_iter: int = 25,
-    strategy: str = "auto",
+    strategy: str = "auto", n_edges: int | None = None,
 ) -> DataFrame:
     """Cluster assignment from fid-keyed edges (a_fid, b_fid): connected
     components run entirely on int64 labels (cheap compares, 16-byte
@@ -193,9 +233,16 @@ def assign_clusters_fid(
     file_id — attaches afterwards via one broadcast-size join per root.
     Output contract matches :func:`assign_clusters`:
     (file_id, cluster_id) with singletons labeled by their own file_id.
+
+    ``n_edges``: already-known edge count (skips the strategy count).
+    The pipeline deliberately does NOT pass it: its edges frame is
+    freshly persisted, and this count doubles as the cache's
+    materialization barrier — dropping it just moves the same job into
+    the union-find's toPandas.
     """
     if strategy == "auto":
-        n_edges = edges_fid.count()
+        if n_edges is None:
+            n_edges = edges_fid.count()
         strategy = (
             "driver"
             if n_edges <= DRIVER_UNION_FIND_MAX_EDGES

@@ -1,0 +1,73 @@
+"""Connected-components strategies (G5): the distributed pointer-doubling
+path must converge logarithmically in diameter and agree with the driver
+union-find on arbitrary topologies."""
+
+import pytest
+
+from sketchy_spark.operators.cluster import (
+    ConvergenceError,
+    _distributed_components,
+    _driver_union_find,
+)
+
+
+def _edge_df(spark, pairs, typ="long"):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], f"a_id {typ}, b_id {typ}"
+    )
+
+
+def test_distributed_path_graph_converges_logarithmically(spark):
+    """VERDICT r3 #4 done-criterion: a 1000-vertex PATH component
+    (diameter 999 — the containment-chain / vendored-file-lineage shape)
+    must converge within 15 rounds; the r3 propagation-only loop needed
+    O(diameter) ~ 999 rounds."""
+    n = 1000
+    edges = _edge_df(spark, [(i, i + 1) for i in range(n - 1)])
+    out = _distributed_components(edges, max_iter=15, check_every=3).toPandas()
+    assert len(out) == n
+    assert set(out.cluster_id) == {0}
+
+
+def test_distributed_matches_driver_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = set()
+    base = 0
+    for _c in range(40):  # clusters of random size and topology
+        size = rng.randrange(2, 12)
+        ids = list(range(base, base + size))
+        base += size
+        extra = [(rng.choice(ids), rng.choice(ids)) for _ in range(size)]
+        chain = list(zip(ids, ids[1:]))
+        pairs |= {
+            tuple(sorted(e)) for e in chain + extra if e[0] != e[1]
+        }
+    edges = _edge_df(spark, sorted(pairs))
+    want = {
+        r["file_id"]: r["cluster_id"]
+        for r in _driver_union_find(edges).collect()
+    }
+    got = {
+        r["file_id"]: r["cluster_id"]
+        for r in _distributed_components(edges, max_iter=25).collect()
+    }
+    assert got == want
+
+
+def test_distributed_string_labels(spark):
+    edges = _edge_df(
+        spark, [("b", "c"), ("a", "b"), ("x", "y")], typ="string"
+    )
+    out = {
+        r["file_id"]: r["cluster_id"]
+        for r in _distributed_components(edges, 10).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_distributed_raises_without_fixpoint_budget(spark):
+    edges = _edge_df(spark, [(i, i + 1) for i in range(200)])
+    with pytest.raises(ConvergenceError):
+        _distributed_components(edges, max_iter=2)
