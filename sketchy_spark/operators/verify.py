@@ -610,16 +610,31 @@ def _positional_minima(content: bytes, cfg: SketchConfig) -> np.ndarray:
     return _sliding_min(hashes, w)
 
 
-def _partial_overlap_kernel(
-    pairs: DataFrame, cfg: SketchConfig, min_overlap_chars: int
-) -> DataFrame:
-    """Per-pair longest shared verbatim run via diagonal-aligned winnow
-    minima + exact byte comparison (see containment_verified)."""
+def _overlap_rows(
+    pdf: pd.DataFrame, cfg: SketchConfig, min_overlap_chars: int
+) -> pd.DataFrame:
+    """One Arrow batch of candidate pairs -> verified partial overlaps.
+
+    Positional minima (and the encoded bytes) are computed ONCE PER
+    DISTINCT FILE within the batch, keyed by file id: a big file
+    appearing in p pairs of a batch is sketched once, not p times
+    (VERDICT r3 #5 — the per-pair re-hash made the kernel quadratic in
+    the pair multiplicity of popular files)."""
     k, w = cfg.k, cfg.winnow_window
 
-    def longest_run(sa: bytes, sb: bytes) -> int:
-        ma = _positional_minima(sa, cfg)
-        mb = _positional_minima(sb, cfg)
+    cache: dict[str, tuple[bytes, np.ndarray]] = {}
+
+    def entry(fid: str, text: str) -> tuple[bytes, np.ndarray]:
+        e = cache.get(fid)
+        if e is None:
+            b = text.encode("utf-8", "surrogatepass")
+            e = (b, _positional_minima(b, cfg))
+            cache[fid] = e
+        return e
+
+    def longest_run(
+        sa: bytes, ma: np.ndarray, sb: bytes, mb: np.ndarray
+    ) -> int:
         if ma.size == 0 or mb.size == 0:
             return 0
         shared, ia, ib = np.intersect1d(ma, mb, return_indices=True)
@@ -651,26 +666,36 @@ def _partial_overlap_kernel(
             start = i
         return best
 
+    rows = []
+    for r in pdf.itertuples(index=False):
+        sa, ma = entry(r.small_id, r.small_c)
+        sb, mb = entry(r.big_id, r.big_c)
+        run = longest_run(sa, ma, sb, mb)
+        if run >= min_overlap_chars:
+            rows.append(
+                (
+                    r.small_id,
+                    r.big_id,
+                    round(min(run / max(len(sa), 1), 1.0), 6),
+                    run,
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["small_id", "big_id", "containment", "overlap_chars"],
+    )
+
+
+def _partial_overlap_kernel(
+    pairs: DataFrame, cfg: SketchConfig, min_overlap_chars: int
+) -> DataFrame:
+    """Per-pair longest shared verbatim run via diagonal-aligned winnow
+    minima + exact byte comparison (see containment_verified); the
+    per-batch kernel is :func:`_overlap_rows`."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                sa = r.small_c.encode("utf-8", "surrogatepass")
-                sb = r.big_c.encode("utf-8", "surrogatepass")
-                run = longest_run(sa, sb)
-                if run >= min_overlap_chars:
-                    rows.append(
-                        (
-                            r.small_id,
-                            r.big_id,
-                            round(min(run / max(len(sa), 1), 1.0), 6),
-                            run,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["small_id", "big_id", "containment", "overlap_chars"],
-            )
+            yield _overlap_rows(pdf, cfg, min_overlap_chars)
 
     return pairs.mapInPandas(
         fn,

@@ -172,3 +172,44 @@ def test_partial_overlap_containment(spark):
     assert key in hits or key_rev in hits, hits
     run = hits.get(key, hits.get(key_rev))
     assert run >= len(block) - 2 * CFG.winnow_window, run
+
+
+def test_partial_overlap_kernel_sketches_each_file_once(monkeypatch):
+    """VERDICT r3 #5: a big file appearing in 50 pairs of one batch must
+    be re-sketched ONCE, not once per pair — 51 sketch passes total for
+    50 pairs + 1 shared big file, with unchanged output."""
+    import pandas as pd
+
+    import sketchy_spark.hashing as H
+    from sketchy_spark.operators.verify import _overlap_rows
+
+    import random
+
+    rng = random.Random(3)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _"
+    block = "".join(rng.choice(alphabet) for _ in range(2000))
+    big = (
+        "".join(rng.choice(alphabet) for _ in range(400))
+        + block
+        + "".join(rng.choice(alphabet) for _ in range(400))
+    )
+    pairs = pd.DataFrame(
+        {
+            "small_id": [f"s{i:02d}" for i in range(50)],
+            "big_id": ["big"] * 50,
+            "small_c": [f"head{i}|" + block + f"|tail{i}" for i in range(50)],
+            "big_c": [big] * 50,
+        }
+    )
+    calls = {"n": 0}
+    orig = H.batch_shingle_hashes
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(H, "batch_shingle_hashes", counted)
+    out = _overlap_rows(pairs, CFG, min_overlap_chars=512)
+    assert calls["n"] == 51, calls
+    assert len(out) == 50
+    assert (out["overlap_chars"] >= len(block) - 2 * CFG.winnow_window).all()
