@@ -64,6 +64,13 @@ def rank_top_k(
     Mirrors src/sketchy.rs:310 (sort desc by count) + :371/:391 (top slice),
     with an explicit ``ref_id`` tiebreak the reference lacks (its ties keep
     incidental vector order) so results are deterministic.
+
+    Scale note: the ``row_number() <= top`` pattern compiles to a
+    map-side Partial ``WindowGroupLimit`` before the partition exchange
+    (Spark >= 3.5), so at most ``top`` rows per query survive each map
+    partition — the full (query, ref) matrix from the exploded form
+    never crosses the shuffle. Pinned by
+    tests/test_rank_operators.py::test_rank_top_k_partial_limit_before_exchange.
     """
     w = Window.partitionBy(partition_col).orderBy(
         F.desc("shared"), F.asc(ref_col)

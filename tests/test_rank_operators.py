@@ -67,6 +67,28 @@ def test_rank_top_k_deterministic_ties(spark):
     assert got == {("q1", "r1"), ("q2", "r9")}  # tie broken by ref_id asc
 
 
+def test_rank_top_k_partial_limit_before_exchange(spark, sigs):
+    """Exploded-predict top-k pushdown (VERDICT r3 #7): the row_number
+    rank filter must compile to a map-side Partial WindowGroupLimit
+    BEFORE the query_id exchange, so at most k rows per (query,
+    partition) cross the shuffle. Spark >= 3.5 plans this natively from
+    the `row_number() <= k` pattern; this test pins the pattern so a
+    refactor (renamed rank column, filter detached from the window)
+    doesn't silently drop the pushdown."""
+    from sketchy_spark.plans.explain import physical_plan
+
+    q = sigs.limit(15)
+    plan = physical_plan(rank_top_k(shared_counts_exploded(q, sigs), top=3))
+    plan = plan.split("== Initial Plan ==")[0]
+    ipartial = plan.find("row_number(), 3, Partial")
+    ifinal = plan.find("row_number(), 3, Final")
+    assert ipartial != -1 and ifinal != -1, plan
+    # textual plan prints downstream nodes first: Final ... Exchange ...
+    # Partial, so the partition exchange must sit between the two.
+    between = plan[ifinal:ipartial]
+    assert "Exchange hashpartitioning(query_id" in between, between
+
+
 def test_consensus_mode_majority_and_tiebreak(spark):
     rows = [
         ("q1", "py", "teamA"), ("q1", "py", "teamB"), ("q1", "rs", "teamB"),
