@@ -203,13 +203,18 @@ def simhash16(docs: DataFrame) -> DataFrame:
     the signed sum of word-hash bits at position b is > 0. 16 explicit
     bit expressions keep shifts literal (portable to the oracle)."""
     words = _words_expr("text")
-    w = docs.select(
-        "doc_id", F.explode(F.expr(words)).alias("word")
-    ).where(F.col("word") != "")
-    h = SQL_HASH_SPARK.format(x="word")
+    w = (
+        docs.select("doc_id", F.explode(F.expr(words)).alias("word"))
+        .where(F.col("word") != "")
+        # stage the word hash as a real column: the 16 bit-sum aggregates
+        # below would otherwise each re-evaluate the md5 (16x per word —
+        # same no-CSE-into-aggregates trap as the lambda case in
+        # _shingles_from_ws)
+        .select("doc_id", F.expr(SQL_HASH_SPARK.format(x="word")).alias("h"))
+    )
     bit_sums = [
         F.sum(
-            F.expr(f"2 * cast((shiftright({h}, {b}) & 1) as int) - 1")
+            F.expr(f"2 * cast((shiftright(h, {b}) & 1) as int) - 1")
         ).alias(f"s{b}")
         for b in range(16)
     ]
