@@ -123,6 +123,141 @@ class CheckpointStore:
             shutil.rmtree(self.stage_path(s), ignore_errors=True)
 
 
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Spark catalogs backed by Iceberg (empty when
+    the runtime has no Iceberg jar or no catalog configured)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        return []
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and (
+            "iceberg" in v.lower()
+        ):
+            out.append(k.rsplit(".", 1)[1])
+    return out
+
+
+def _stage_ident(catalog: str, namespace: str, stage: str) -> str:
+    """Fully-qualified Iceberg table identifier for a stage (pure —
+    unit-testable without the jar)."""
+    safe = stage.replace("-", "_").replace(".", "_")
+    return f"{catalog}.{namespace}.ckpt_{safe}"
+
+
+class IcebergCheckpointStore:
+    """CheckpointStore contract over real Iceberg tables (SURVEY §7 hard
+    part 6). Selected by :func:`make_store` only when the runtime has the
+    Iceberg jar AND a configured Iceberg catalog; the sandbox has
+    neither, so this class is exercised there only through its pure
+    helpers and the factory's fallback path — the body maps 1:1 onto the
+    shim's semantics:
+
+    - ``write_stage`` -> ``df.writeTo(ident).createOrReplace()`` (an
+      atomic snapshot commit replaces the shim's tmp-dir rename);
+      per-write-task lineage comes from the snapshot's own manifest
+      entries (the ``<table>.files`` metadata table: file_path,
+      record_count) instead of driver-side parquet footer reads.
+    - completion + config-hash are snapshot-visible table properties,
+      set in the same transaction chain; ``is_complete`` checks them.
+    - ``invalidate_from`` drops the stage tables (Iceberg DROP TABLE
+      PURGE), mirroring the shim's rmtree.
+    """
+
+    def __init__(
+        self, spark: SparkSession, catalog: str, namespace: str,
+        config_hash: str,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.config_hash = config_hash
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
+
+    def _ident(self, stage: str) -> str:
+        return _stage_ident(self.catalog, self.namespace, stage)
+
+    def _props(self, stage: str) -> dict:
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(stage)}"
+            ).collect()
+        except Exception:
+            return {}
+        return {r["key"]: r["value"] for r in rows}
+
+    def is_complete(self, stage: str) -> bool:
+        p = self._props(stage)
+        return (
+            p.get("sketchy.status") == "complete"
+            and p.get("sketchy.config_hash") == self.config_hash
+        )
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._props(stage)
+        if "sketchy.status" not in p:
+            return None
+        lineage = [
+            {"file": r["file_path"], "rows": r["record_count"]}
+            for r in self.spark.read.table(
+                f"{self._ident(stage)}.files"
+            ).select("file_path", "record_count").collect()
+        ]
+        return {
+            "stage": stage,
+            "status": p["sketchy.status"],
+            "config_hash": p.get("sketchy.config_hash"),
+            "rows": sum(e["rows"] for e in lineage),
+            "partitions": lineage,
+        }
+
+    def write_stage(self, stage: str, df: DataFrame) -> None:
+        ident = self._ident(stage)
+        df.writeTo(ident).using("iceberg").createOrReplace()
+        self.spark.sql(
+            f"ALTER TABLE {ident} SET TBLPROPERTIES ("
+            f"'sketchy.status'='complete',"
+            f"'sketchy.config_hash'='{self.config_hash}')"
+        )
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.table(self._ident(stage))
+
+    def get_or_compute(
+        self, spark: SparkSession, stage: str, compute
+    ) -> tuple[DataFrame, bool]:
+        if self.is_complete(stage):
+            return self.read_stage(spark, stage), True
+        self.write_stage(stage, compute())
+        return self.read_stage(spark, stage), False
+
+    def invalidate_from(self, stages: list[str], failed: str) -> None:
+        for s in stages[stages.index(failed):]:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._ident(s)} PURGE"
+            )
+
+
+def make_store(
+    spark: SparkSession, root: str, config_hash: str,
+    namespace: str = "sketchy_ckpt",
+):
+    """Checkpoint-store factory: a real Iceberg store when the runtime
+    provides the jar + a configured Iceberg catalog, else the parquet
+    shim rooted at ``root``. Same API either way, so
+    run_pipeline_checkpointed and the incremental ingest are
+    backend-agnostic."""
+    cats = iceberg_catalogs(spark)
+    if cats:
+        return IcebergCheckpointStore(spark, cats[0], namespace, config_hash)
+    return CheckpointStore(root, config_hash)
+
+
 STAGES = ["signatures", "edges", "clusters", "containment"]
 
 

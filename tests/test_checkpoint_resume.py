@@ -321,3 +321,33 @@ def test_incremental_appends_only(spark, tmp_path):
     }
     for s, ts in stamps0.items():  # earlier stages untouched
         assert stamps1[s] == ts
+
+
+def test_store_factory_backend_selection(spark, tmp_path):
+    """make_store routes to Iceberg only when the runtime has the jar +
+    a configured Iceberg catalog; this sandbox has neither, so detection
+    must return [] and the factory must hand back the parquet shim with
+    the full resume contract intact."""
+    from sketchy_spark.checkpoint import (
+        _stage_ident,
+        iceberg_catalogs,
+        make_store,
+    )
+
+    assert iceberg_catalogs(spark) == []  # no Iceberg jar in sandbox
+    store = make_store(spark, str(tmp_path / "ckpt"), CFG.config_hash)
+    assert isinstance(store, CheckpointStore)
+
+    df = spark.range(5).select(F.col("id").cast("long"))
+    assert not store.is_complete("s1")
+    out, resumed = store.get_or_compute(spark, "s1", lambda: df)
+    assert resumed is False and out.count() == 5
+    out2, resumed2 = store.get_or_compute(
+        spark, "s1", lambda: (_ for _ in ()).throw(AssertionError("recomputed"))
+    )
+    assert resumed2 is True and out2.count() == 5
+
+    # pure identifier mapping (the part of the Iceberg path that can be
+    # verified without the jar)
+    assert _stage_ident("ice", "ns", "edges") == "ice.ns.ckpt_edges"
+    assert _stage_ident("ice", "ns", "a-b.c") == "ice.ns.ckpt_a_b_c"
