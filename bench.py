@@ -305,27 +305,33 @@ def calibrate_host_ceiling(corpus_path: str) -> dict:
     }
 
 
-def _git_head() -> str:
-    import subprocess
+def _code_fingerprint() -> str:
+    """Identity of the TIMED code: sha256 over the sketchy_spark package
+    sources plus this file. Keying the trial pool on this (not the git
+    rev) means doc/test/tool commits between invocations don't discard
+    comparable trials, while any change to the pipeline or to the bench
+    methodology itself still starts a fresh pool — the actual invariant
+    'timings from older pipeline code must not mix' enforced directly."""
+    import hashlib
 
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=Path(__file__).parent, capture_output=True, text=True,
-        ).stdout.strip()[:12]
-    except OSError:
-        return "unknown"
+    root = Path(__file__).resolve().parent
+    h = hashlib.sha256()
+    for p in sorted((root / "sketchy_spark").rglob("*.py")) + [
+        root / "bench.py"
+    ]:
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:12]
 
 
 def _merge_trials(new: dict[str, list[float]]) -> dict[str, list[float]]:
-    """Accumulate scaling trials across --scaling invocations (same code
-    rev only): this host's noise comes in multi-minute episodes that can
-    blanket an entire run, so the honest best-of pool spans runs from
-    different windows. All trials are persisted and listed in the
-    report; a new git rev starts a fresh pool (timings from older
-    pipeline code must not mix)."""
+    """Accumulate scaling trials across --scaling invocations (same timed
+    code only — see _code_fingerprint): this host's noise comes in
+    multi-minute episodes that can blanket an entire run, so the honest
+    best-of pool spans runs from different windows. All trials are
+    persisted and listed in the report."""
     path = SCRATCH / "scaling_trials.json"
-    head = _git_head()
+    head = _code_fingerprint()
     pool: dict = {"rev": head, "trials": {}}
     if path.exists():
         try:
