@@ -319,7 +319,7 @@ def _code_fingerprint() -> str:
     for p in sorted((root / "sketchy_spark").rglob("*.py")) + [
         root / "bench.py"
     ]:
-        h.update(p.name.encode())
+        h.update(str(p.relative_to(root)).encode())
         h.update(p.read_bytes())
     return h.hexdigest()[:12]
 
@@ -336,14 +336,16 @@ def _merge_trials(new: dict[str, list[float]]) -> dict[str, list[float]]:
     if path.exists():
         try:
             prev = json.loads(path.read_text())
-            if prev.get("rev") == head and prev.get("n") == SCALING_N:
+            if prev.get("rev") == head:
                 pool = prev
         except (ValueError, OSError):
             pass
-    pool["n"] = SCALING_N
+    # keys carry their row count (headline_100000, 1ex_800000), so a
+    # headline-only invocation pools alongside scaling trials instead of
+    # resetting them (and vice versa)
     for k, v in new.items():
         pool.setdefault("trials", {}).setdefault(k, []).extend(
-            round(x, 1) for x in v
+            round(x, 3) for x in v
         )
     path.parent.mkdir(exist_ok=True)
     path.write_text(json.dumps(pool))
@@ -424,9 +426,12 @@ def main() -> None:
 
         # accumulate across --scaling runs (same code rev): episodic
         # noise can blanket one whole run, so best-of spans windows
-        pool = _merge_trials({**ex_trials, **th_trials})
-        ex_trials = {t: pool[t] for t in (f"{lo_n}ex", f"{hi_n}ex")}
-        th_trials = {c: pool[c] for c in (lo, hi)}
+        sfx = f"_{SCALING_N}"
+        pool = _merge_trials(
+            {k + sfx: v for k, v in {**ex_trials, **th_trials}.items()}
+        )
+        ex_trials = {t: pool[t + sfx] for t in (f"{lo_n}ex", f"{hi_n}ex")}
+        th_trials = {c: pool[c + sfx] for c in (lo, hi)}
         ex_best = {t: min(v) for t, v in ex_trials.items()}
         ex_eff = (ex_best[f"{lo_n}ex"] / ex_best[f"{hi_n}ex"]) / (
             hi_n // lo_n

@@ -26,7 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_DIR = "_manifest"
 
 
-class CheckpointStore:
+class _StoreBase:
+    """Behavior shared by every checkpoint backend (shim + Iceberg)."""
+
+    def get_or_compute(
+        self, spark: SparkSession, stage: str, compute
+    ) -> tuple[DataFrame, bool]:
+        """Returns (df, resumed): resumed=True when read from checkpoint."""
+        if self.is_complete(stage):
+            return self.read_stage(spark, stage), True
+        self.write_stage(stage, compute())
+        return self.read_stage(spark, stage), False
+
+
+class CheckpointStore(_StoreBase):
     def __init__(self, root: str, config_hash: str):
         self.root = Path(root)
         self.config_hash = config_hash
@@ -60,7 +73,9 @@ class CheckpointStore:
     def stage_path(self, stage: str) -> str:
         return str(self.root / stage)
 
-    def write_stage(self, stage: str, df: DataFrame) -> None:
+    def write_stage(
+        self, stage: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
         """Write a stage table + manifest with per-WRITE-TASK lineage.
 
         Each parquet part file is the output of exactly one write task,
@@ -69,6 +84,10 @@ class CheckpointStore:
         partitioning reflects the read side, not the write. Footers are
         read driver-side (metadata only, no data scan). On Iceberg this
         maps to the snapshot's manifest-entry (file, record_count) list.
+
+        ``meta``: small JSON-able dict stored verbatim in the manifest
+        (e.g. the compaction's folded-batch set) — the writer's own
+        bookkeeping, opaque to the store.
         """
         t0 = time.time()
         path = self.stage_path(stage)
@@ -99,21 +118,13 @@ class CheckpointStore:
                     "wall_ms": int((time.time() - t0) * 1000),
                     "config_hash": self.config_hash,
                     "ts": time.time(),
+                    "meta": meta or {},
                 }
             )
         )
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.stage_path(stage))
-
-    def get_or_compute(
-        self, spark: SparkSession, stage: str, compute
-    ) -> tuple[DataFrame, bool]:
-        """Returns (df, resumed): resumed=True when read from checkpoint."""
-        if self.is_complete(stage):
-            return self.read_stage(spark, stage), True
-        self.write_stage(stage, compute())
-        return self.read_stage(spark, stage), False
 
     def invalidate_from(self, stages: list[str], failed: str) -> None:
         """Drop manifests for ``failed`` and everything after it."""
@@ -138,7 +149,7 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
             "iceberg" in v.lower()
         ):
             out.append(k.rsplit(".", 1)[1])
-    return out
+    return sorted(out)  # deterministic selection when several configured
 
 
 def _stage_ident(catalog: str, namespace: str, stage: str) -> str:
@@ -148,7 +159,7 @@ def _stage_ident(catalog: str, namespace: str, stage: str) -> str:
     return f"{catalog}.{namespace}.ckpt_{safe}"
 
 
-class IcebergCheckpointStore:
+class IcebergCheckpointStore(_StoreBase):
     """CheckpointStore contract over real Iceberg tables (SURVEY §7 hard
     part 6). Selected by :func:`make_store` only when the runtime has the
     Iceberg jar AND a configured Iceberg catalog; the sandbox has
@@ -209,32 +220,61 @@ class IcebergCheckpointStore:
             ).select("file_path", "record_count").collect()
         ]
         return {
-            "stage": stage,
+            "stage": p.get("sketchy.stage", stage),
             "status": p["sketchy.status"],
             "config_hash": p.get("sketchy.config_hash"),
             "rows": sum(e["rows"] for e in lineage),
             "partitions": lineage,
+            "meta": json.loads(p.get("sketchy.meta", "{}")),
         }
 
-    def write_stage(self, stage: str, df: DataFrame) -> None:
+    def manifests(self) -> list[dict]:
+        """All stage manifests in the namespace (the shim's directory
+        listing, expressed as SHOW TABLES over ``ckpt_*``). The stage
+        name comes from the ``sketchy.stage`` property, not un-mangling
+        the table identifier (``_stage_ident`` is not reversible)."""
+        rows = self.spark.sql(
+            f"SHOW TABLES IN {self.catalog}.{self.namespace}"
+        ).collect()
+        out = []
+        for r in rows:
+            name = r["tableName"]
+            if not name.startswith("ckpt_"):
+                continue
+            p = self._props_by_table(name)
+            if "sketchy.stage" not in p:
+                continue
+            m = self.manifest(p["sketchy.stage"])
+            if m is not None:
+                out.append(m)
+        return sorted(out, key=lambda m: m["stage"])
+
+    def _props_by_table(self, table_name: str) -> dict:
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.catalog}.{self.namespace}."
+                f"{table_name}"
+            ).collect()
+        except Exception:
+            return {}
+        return {r["key"]: r["value"] for r in rows}
+
+    def write_stage(
+        self, stage: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
         ident = self._ident(stage)
         df.writeTo(ident).using("iceberg").createOrReplace()
+        meta_json = json.dumps(meta or {}).replace("'", "''")
         self.spark.sql(
             f"ALTER TABLE {ident} SET TBLPROPERTIES ("
             f"'sketchy.status'='complete',"
-            f"'sketchy.config_hash'='{self.config_hash}')"
+            f"'sketchy.stage'='{stage}',"
+            f"'sketchy.config_hash'='{self.config_hash}',"
+            f"'sketchy.meta'='{meta_json}')"
         )
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.table(self._ident(stage))
-
-    def get_or_compute(
-        self, spark: SparkSession, stage: str, compute
-    ) -> tuple[DataFrame, bool]:
-        if self.is_complete(stage):
-            return self.read_stage(spark, stage), True
-        self.write_stage(stage, compute())
-        return self.read_stage(spark, stage), False
 
     def invalidate_from(self, stages: list[str], failed: str) -> None:
         for s in stages[stages.index(failed):]:

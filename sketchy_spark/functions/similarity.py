@@ -132,6 +132,16 @@ def ann_multiprobe(
     the scale configuration; low thresholds at corpus scale are IVF
     territory, not LSH.
     """
+    # Plan note (r4): the simhash first-matching-band rewrite
+    # (sql_dedup.py) was tried here — one (probe, bucket) self-join with
+    # each side carrying its probes-long bucket array for a map-side
+    # first-match filter — and measured 4-6x WORSE (5.1s -> 22-35s at
+    # sf0.1): with bits=4 there are only 16 buckets per probe, so the
+    # join fan-out is enormous and the 96-byte array payload per side
+    # multiplies the shuffled bytes; the slim 16-byte union + distinct
+    # is the cheaper dedup here. The rewrite pays only when the carried
+    # key is scalar-small and the band space is sparse (simhash: 8-byte
+    # key, 16-bit bands).
     cands = None
     for t in range(probes):
         bucketed = emb.select(

@@ -53,6 +53,12 @@ PERM_MIX = _mix_consts(64)
 
 def perm_hash_cols(h, num_perm: int = NUM_PERM) -> list:
     """The num_perm mixed hash columns derived from base-hash column h."""
+    if num_perm > len(PERM_MIX):
+        raise ValueError(
+            f"num_perm={num_perm} exceeds the {len(PERM_MIX)} "
+            "precomputed permutation constants (PERM_MIX); widen "
+            "_mix_consts if more permutations are needed"
+        )
     lo = h.bitwiseAND(F.lit(_M30))
     hi = F.shiftright(h, 30)
     return [
@@ -232,8 +238,9 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     4 bands of 4; if hamming(a, b) <= 3 then by pigeonhole at least one
     band is bit-identical, so an equi-join on (band, band_bits) finds
     every qualifying pair — same output as the O(n²) form, equi-join
-    plan (no CartesianProduct). Pairs matching several bands are deduped
-    by the groupBy before the hamming verify.
+    plan (no CartesianProduct). A pair matching several bands is emitted
+    exactly once by the first-matching-band filter (no dedup shuffle —
+    see the in-body measurement note).
     """
     n_bands = max_hamming + 1  # pigeonhole: <= 3 flipped bits, 4 bands
     bits = 16 // n_bands

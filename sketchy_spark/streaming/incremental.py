@@ -186,23 +186,55 @@ class IncrementalDedup:
             out = out.unionByName(d)
         return out
 
+    def _compacts(self, kind: str) -> list[tuple[int, set[int], str]]:
+        """Completed compacts of ``kind`` as (fold_max, folded_ids, stage).
+
+        ``folded_ids`` comes from the compact manifest's meta (written by
+        :meth:`compact`); a pre-meta compact (older store) folded exactly
+        the contiguous terminal-marked prefix, i.e. every completed batch
+        id <= its fold_max — reconstructed here for back-compat."""
+        batch_ids = {_stage_id(s) for s in self._completed(f"{kind}_batch_")}
+        out = []
+        for m in self.store.manifests():
+            s = m["stage"]
+            if not s.startswith(f"{kind}_compact_"):
+                continue
+            if (
+                m["status"] != "complete"
+                or m["config_hash"] != self.store.config_hash
+            ):
+                continue
+            c = _stage_id(s)
+            folded = (m.get("meta") or {}).get("folded")
+            folded = (
+                set(folded)
+                if folded is not None
+                else {i for i in batch_ids if i <= c}
+            )
+            out.append((c, folded, s))
+        return out
+
     def view_stages(self, kind: str, before: int | None = None) -> list[str]:
-        """Stages a rolling view reads: the newest usable compact (one
-        folding only batches < ``before``, when given) plus the batch
-        tail after it. kind: 'sig' | 'edges'."""
+        """Stages a rolling view reads: the newest usable compact plus
+        every completed batch NOT folded into it. kind: 'sig' | 'edges'.
+
+        Usable (given ``before``) means the compact folds only batches
+        < ``before``; the tail is the completed batches outside the
+        compact's folded set — which keeps a BACKFILLED batch (id below
+        the compact's fold_max, ingested after it) visible in every view
+        until a later compact folds it."""
         batches = self._completed(f"{kind}_batch_")
         if before is not None:
             batches = [s for s in batches if _stage_id(s) < before]
-        compacts = [
-            _stage_id(s) for s in self._completed(f"{kind}_compact_")
-            if before is None or _stage_id(s) < before
+        usable = [
+            (c, folded, s)
+            for c, folded, s in self._compacts(kind)
+            if before is None or all(i < before for i in folded)
         ]
-        if not compacts:
+        if not usable:
             return batches
-        c = max(compacts)
-        return [f"{kind}_compact_{c:05d}"] + [
-            s for s in batches if _stage_id(s) > c
-        ]
+        c, folded, stage = max(usable, key=lambda t: t[0])
+        return [stage] + [s for s in batches if _stage_id(s) not in folded]
 
     def signatures(self, before: int | None = None) -> DataFrame | None:
         return self._union(self.view_stages("sig", before))
@@ -215,60 +247,87 @@ class IncrementalDedup:
         """Fold batches into one compact stage pair; returns True when a
         new compaction was written. Append-only and idempotent: the
         edges_compact manifest is the terminal marker, a half-written
-        compaction (sig stored, edges missing) is finished on retry, and
+        compaction (sig stored, edges missing) is finished on retry from
+        the folded set recorded in the sig compact's manifest meta, and
         raw batch stages are never deleted.
 
-        The fold point c is the end of the CONTIGUOUS fully-ingested
-        prefix: the largest batch id such that every id from the smallest
-        ever seen through c has a completed edges stage (edges is each
-        batch's terminal marker, so its sig stage is complete too). Both
-        compact inputs are built from ``view_stages(kind, before=c+1)``,
-        so exactly batches <= c are folded. Batches beyond c — a sig
-        written by a run that crashed before its edges marker, or an
-        out-of-order ingest — stay in the rolling tail (folding
-        sig_batch_k with k > c double-counted batch k in every view:
-        compact_c contained its rows AND view_stages appended the batch
-        as tail). An id GAP below the newest complete batch blocks
-        compaction past the gap entirely, so a backfilled batch can never
-        land below an existing compact point, where the rolling views
-        would silently drop it."""
-        sig_ids = {_stage_id(s) for s in self._completed("sig_batch_")}
+        The folded set is EXPLICIT: each compact's manifest meta records
+        ``{"fold_max": c, "folded": [ids]}`` where c = the largest
+        terminal-marked (edges-complete) batch id and folded = the
+        previous compact's set plus every newly terminal-marked batch.
+        Batch ids therefore need no contiguity — date-shaped ids
+        (20240101, 20240103, ...) compact normally, and a BACKFILLED
+        batch below an existing fold_max is folded by the next compact
+        rather than silently dropped (it stays in the rolling tail until
+        then: view_stages keeps every completed batch outside the folded
+        set visible). The one deferral: a backfill arriving when no new
+        batch has raised c keeps the same stage name ``*_compact_c`` —
+        stages are immutable, so that compaction is skipped until a
+        higher c exists. A half-ingested batch (sig stored, edges marker
+        missing) is never folded — folding it double-counted its rows in
+        every view (compact contained them AND the tail re-appended the
+        batch)."""
         edge_ids = {_stage_id(s) for s in self._completed("edges_batch_")}
-        all_ids = sig_ids | edge_ids
-        if not all_ids:
+        sig_ids = {_stage_id(s) for s in self._completed("sig_batch_")}
+        done_ids = edge_ids & sig_ids  # edges is terminal; & is belt+braces
+
+        # Crash-retry first: a sig_compact_k whose edges_compact_k never
+        # landed is finished from ITS OWN recorded folded set (not from
+        # current state, which may have moved on). Raw batch stages are
+        # never deleted, so the union is rebuildable verbatim.
+        for k, folded, _s in sorted(
+            self._compacts("sig"), key=lambda t: t[0]
+        ):
+            stage_edge = f"edges_compact_{k:05d}"
+            if not self.store.is_complete(stage_edge):
+                self.store.write_stage(
+                    stage_edge,
+                    self._union(
+                        [f"edges_batch_{i:05d}" for i in sorted(folded)]
+                    ),
+                    meta={"fold_max": k, "folded": sorted(folded)},
+                )
+                return True
+
+        if not done_ids:
             return False
-        c = None
-        i = min(all_ids)
-        while i in edge_ids:
-            c = i
-            i += 1
-        if c is None:
-            return False
+        c = max(done_ids)
+        prev = self._compacts("edges")
+        prev_folded: set[int] = (
+            max(prev, key=lambda t: t[0])[1] if prev else set()
+        )
+        to_fold = done_ids - prev_folded
         stage_sig = f"sig_compact_{c:05d}"
         stage_edge = f"edges_compact_{c:05d}"
         if self.store.is_complete(stage_edge):
-            return False
-        # Crash-retry: sig_compact_c stored, edges_compact_c missing.
-        # Finish the edges write REGARDLESS of tail length — the old
-        # order put the 'nothing to fold' guard first, which returned
-        # False when no newer batches existed and left the sig compact
-        # orphaned (the docstring's idempotent-retry contract only held
-        # when newer batches had already arrived). Note sig_compact_c is
-        # complete here, so the sig view already reads it — it is never
-        # rewritten from itself.
-        if self.store.is_complete(stage_sig):
-            self.store.write_stage(
-                stage_edge,
-                self._union(self.view_stages("edges", before=c + 1)),
-            )
-            return True
-        if len(self.view_stages("sig", before=c + 1)) < 2:
+            return False  # name collision: backfill with unchanged c waits
+        if not prev and len(to_fold) < 2:
             return False  # nothing to fold
+        if not to_fold:
+            return False
+        folded = prev_folded | to_fold
+        meta = {"fold_max": c, "folded": sorted(folded)}
+        prev_sig = (
+            [max(self._compacts("sig"), key=lambda t: t[0])[2]]
+            if prev
+            else []
+        )
+        prev_edge = [max(prev, key=lambda t: t[0])[2]] if prev else []
         self.store.write_stage(
-            stage_sig, self._union(self.view_stages("sig", before=c + 1))
+            stage_sig,
+            self._union(
+                prev_sig
+                + [f"sig_batch_{i:05d}" for i in sorted(to_fold)]
+            ),
+            meta=meta,
         )
         self.store.write_stage(
-            stage_edge, self._union(self.view_stages("edges", before=c + 1))
+            stage_edge,
+            self._union(
+                prev_edge
+                + [f"edges_batch_{i:05d}" for i in sorted(to_fold)]
+            ),
+            meta=meta,
         )
         return True
 
@@ -289,7 +348,21 @@ class IncrementalDedup:
         new_sigs, _ = self.store.get_or_compute(
             self.spark, stage_sig, lambda: sketch_files(files, self.cfg)
         )
-        prev_sigs = self.signatures(before=batch_id)
+        # "prev" = every OTHER ingested batch, by INGEST-TIME order, not
+        # id order: an out-of-order BACKFILL (id below already-ingested
+        # ids) must still pair against the higher-id batches already in
+        # the store — with id-ordered prev (signatures(before=batch_id),
+        # the r4-early bug) a backfill's cross-batch pairs to higher ids
+        # were never generated by either side. Every pair (x, y) is
+        # covered by whichever batch ingests later. The new batch's own
+        # sig stage is excluded by name; it can never hide inside a
+        # compact here because compaction folds only terminal-marked
+        # (edges-complete) batches and this batch's edges marker does
+        # not exist yet.
+        prev_stages = [
+            s for s in self.view_stages("sig") if s != stage_sig
+        ]
+        prev_sigs = self._union(prev_stages)
         all_sigs = (
             prev_sigs.unionByName(new_sigs)
             if prev_sigs is not None

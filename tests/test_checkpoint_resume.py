@@ -284,25 +284,43 @@ def test_compaction_orphan_sig_retry_without_new_batches(spark, tmp_path):
     assert _pairs(inc.clusters()) == want
 
 
-def test_compaction_refuses_past_id_gap(spark, tmp_path):
-    """A batch-id gap (out-of-order / pending backfill ingest) blocks
-    compaction past the gap: a compact above it would make a batch
-    backfilled into the gap invisible to every rolling view."""
-    files = corpus_df(spark, 150).cache()
+def test_compaction_folds_sparse_ids_and_backfill(spark, tmp_path):
+    """Batch ids need no contiguity (date-shaped ids compact fine), and a
+    batch BACKFILLED below an existing compact's fold_max stays visible
+    in every rolling view — exactly once — until a later compact folds
+    it (the pre-folded-set design either dropped it from views or
+    blocked compaction entirely at the first id gap)."""
+    files = corpus_df(spark, 200).cache()
     store = CheckpointStore(str(tmp_path / "incA"), CFG.config_hash)
     inc = IncrementalDedup(spark, store, CFG)
     batched = files.withColumn(
-        "batch", F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 3
+        "batch", F.abs(F.hash(F.concat_ws("/", "repo", "path"))) % 4
     ).cache()
-    for b, bid in ((0, 0), (1, 1), (2, 5)):  # ids 2-4 pending backfill
-        inc.ingest_batch(
-            bid, batched.where(F.col("batch") == b).drop("batch")
-        )
-    assert inc.compact() is True  # folds the contiguous prefix only
-    assert inc.view_stages("sig") == ["sig_compact_00001", "sig_batch_00005"]
-    assert inc.signatures().count() == 150
-    # backfill lands in the gap and stays visible (above the compact)
-    assert inc.compact() is False  # nothing new contiguous to fold
+    part = lambda b: batched.where(F.col("batch") == b).drop("batch")  # noqa: E731
+    for b, bid in ((0, 0), (1, 1), (2, 5)):  # sparse: ids 2-4 never used
+        inc.ingest_batch(bid, part(b))
+    n3 = files.count() - part(3).count()
+    assert inc.compact() is True  # sparse ids fold without contiguity
+    assert inc.view_stages("sig") == ["sig_compact_00005"]
+    assert inc.signatures().count() == n3
+    m = store.manifest("edges_compact_00005")
+    assert m["meta"] == {"fold_max": 5, "folded": [0, 1, 5]}
+    # backfill BELOW the fold_max: visible in the tail, counted once
+    inc.ingest_batch(3, part(3))
+    assert inc.view_stages("sig") == ["sig_compact_00005", "sig_batch_00003"]
+    assert inc.signatures().count() == files.count()
+    # c unchanged (5): the compact name would collide with the immutable
+    # existing stage, so the backfill waits in the tail
+    assert inc.compact() is False
+    # a later batch raises c; the next compact folds the backfill too
+    inc.ingest_batch(6, spark.createDataFrame([], part(0).schema))
+    assert inc.compact() is True
+    assert inc.view_stages("sig") == ["sig_compact_00006"]
+    assert inc.signatures().count() == files.count()
+    m = store.manifest("edges_compact_00006")
+    assert m["meta"]["folded"] == [0, 1, 3, 5, 6]
+    single = run_pipeline(files, CFG, with_containment=False)
+    assert _pairs(inc.clusters()) == _pairs(single.clusters)
 
 
 def test_incremental_appends_only(spark, tmp_path):
