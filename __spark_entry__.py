@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_multiprobe"] = lambda s, d: sim.ann_multiprobe(
         _emb(s, d), threshold=0.45, bits=4, probes=12
     )
+    # the production default (VERDICT r4 #1): bits/probes DERIVED from
+    # the dup-detection threshold via ann_params(0.9) -> (10, 10) —
+    # 1024-way buckets, the scale-safe density. Verified at 0.30 so the
+    # synthetic embeddings (no planted c>=0.9 pairs) yield nonzero rows
+    # for the value-hash; the candidate set is the sparse config's own.
+    scale_bits, scale_probes = sim.ann_params(0.9)
+    q["ann_multiprobe_scale"] = lambda s, d: sim.ann_multiprobe(
+        _emb(s, d), threshold=0.30, bits=scale_bits, probes=scale_probes
+    )
 
     # --- murmur pipeline on the planted corpus (non-SQL-expressible:
     #     Arrow kernels + iterative CC -> rows-only driver check) ---
@@ -555,30 +564,36 @@ def oracle_sql() -> dict[str, str]:
         select a_id, b_id, {_COS_D} as cosine from p
         where {_COS_D} >= 0.30
     """
-    probe_ctes = []
-    probe_sels = []
-    for t in range(12):
-        bkt = (
-            "list_sum(list_transform(range(0, 4), d -> case when "
-            f"embedding[(({t * 4} + d) % len(embedding)) + 1] > 0 "
-            "then (1::BIGINT << d) else 0 end))"
-        )
-        probe_ctes.append(
-            f"p{t} as (select vec_id, {bkt} as bucket from embeddings)"
-        )
-        probe_sels.append(
-            f"select a.vec_id a_id, b.vec_id b_id from p{t} a "
-            f"join p{t} b on a.bucket = b.bucket and a.vec_id < b.vec_id"
-        )
-    o["ann_multiprobe"] = f"""
+    def _multiprobe_oracle(bits: int, probes: int, threshold: float) -> str:
+        probe_ctes = []
+        probe_sels = []
+        for t in range(probes):
+            bkt = (
+                f"list_sum(list_transform(range(0, {bits}), d -> case when "
+                f"embedding[(({t * bits} + d) % len(embedding)) + 1] > 0 "
+                "then (1::BIGINT << d) else 0 end))"
+            )
+            probe_ctes.append(
+                f"p{t} as (select vec_id, {bkt} as bucket from embeddings)"
+            )
+            probe_sels.append(
+                f"select a.vec_id a_id, b.vec_id b_id from p{t} a "
+                f"join p{t} b on a.bucket = b.bucket and a.vec_id < b.vec_id"
+            )
+        return f"""
         with {", ".join(probe_ctes)},
         c as ({" union ".join(probe_sels)}),
         j as (select c.a_id, c.b_id, ea.embedding a_emb, eb.embedding b_emb
               from c join embeddings ea on c.a_id = ea.vec_id
                      join embeddings eb on c.b_id = eb.vec_id)
         select a_id, b_id, {_COS_D} as cosine from j
-        where {_COS_D} >= 0.45
+        where {_COS_D} >= {threshold}
     """
+
+    o["ann_multiprobe"] = _multiprobe_oracle(4, 12, 0.45)
+    o["ann_multiprobe_scale"] = _multiprobe_oracle(
+        *sim.ann_params(0.9), 0.30
+    )
     # planted_clusters / planted_verified_pairs / planted_containment:
     # intentionally no oracle (iterative CC + Arrow murmur kernels are not
     # SQL-expressible) -> driver records rows-only checks.

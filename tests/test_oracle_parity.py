@@ -106,3 +106,57 @@ def test_ann_multiprobe_recall(spark):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(truth)})"
     assert got <= truth  # exact verify: no false positives
+
+
+def test_ann_params_derivation():
+    """VERDICT r4 #1: (bits, probes) derived from the threshold — the
+    dup-detection default lands on sparse 1024-way buckets, the oracle
+    fixture's (4, 12) is reproduced at its own probe budget, and
+    LSH-hostile thresholds raise instead of going quadratic."""
+    from sketchy_spark.functions import similarity as sim
+
+    assert sim.ann_params(0.9) == (10, 10)
+    assert sim.ann_params(0.45, max_probes=12) == (4, 12)
+    with pytest.raises(ValueError):
+        sim.ann_params(-0.95, max_probes=2)
+
+
+def test_ann_multiprobe_sparse_default_recall(spark):
+    """VERDICT r4 #1 done-criterion: the DEFAULT ann_multiprobe call
+    (threshold 0.9, bits/probes derived -> 1024-way buckets) reaches
+    recall >= 0.9 on a planted corpus of c >~ 0.95 twins. The sf0.01
+    embeddings have no c >= 0.9 pairs, so the truth is planted: 100
+    base vectors each get one twin at cosine ~0.958 (unit base + 0.3 x
+    orthogonalized noise); inter-base cosines concentrate near 0."""
+    import numpy as np
+
+    from sketchy_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(11)
+    dim, n_base = 64, 100
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.randn(n_base, dim)
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = base + 0.3 * noise  # cos(base, twin) = 1/sqrt(1.09) ~ 0.958
+    vecs = np.vstack([base, twins])
+    rows = [
+        (i, [float(x) for x in vecs[i]]) for i in range(len(vecs))
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in sim.embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(truth) >= n_base  # every planted twin pair is in truth
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in sim.ann_multiprobe(emb).collect()  # all defaults
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(truth)})"
+    assert got <= truth  # exact cosine verify: no false positives
+    emb.unpersist()
