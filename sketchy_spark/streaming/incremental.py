@@ -240,7 +240,29 @@ class IncrementalDedup:
         return self._union(self.view_stages("sig", before))
 
     def edges(self) -> DataFrame | None:
-        return self._union(self.view_stages("edges"))
+        """Distinct verified + exact edges across every ingested batch.
+
+        The distinct is load-bearing for EXTERNAL consumers (ADVICE r4):
+        a batch retried after a LATER batch already landed re-emits the
+        same cross-batch pairs in its own stage (each stage's internal
+        distinct cannot see across stages), so the raw union may contain
+        duplicate pairs. Connected components is insensitive to them
+        (it deduplicates its symmetrized edge table anyway — see
+        _distributed_components / union-find), which is why
+        :meth:`clusters` and the ingest pairing read the raw stages;
+        the public view pays one edge-sized shuffle for set semantics.
+        """
+        raw = self._union(self.view_stages("edges"))
+        return raw.distinct() if raw is not None else None
+
+    def n_edges(self) -> int:
+        """Edge-count UPPER BOUND from manifests alone (VERDICT r4 #7):
+        the sum of every edge stage's recorded row count — no Spark
+        action. Cross-stage retry duplicates may inflate it slightly
+        (see :meth:`edges`), which only ever pushes the CC strategy
+        choice toward 'distributed', the safe direction."""
+        by_stage = {m["stage"]: m["rows"] for m in self.store.manifests()}
+        return sum(by_stage[s] for s in self.view_stages("edges"))
 
     # -- compaction ------------------------------------------------------
     def compact(self) -> bool:
@@ -385,7 +407,14 @@ class IncrementalDedup:
 
     def clusters(self) -> DataFrame:
         sigs = self.signatures()
-        edges = self.edges()
         if sigs is None:
             raise ValueError("no ingested batches")
-        return assign_clusters(sigs, edges)
+        # raw stage union, not the public edges() view: CC dedupes its own
+        # edge table, so the view's distinct shuffle would be paid twice.
+        # n_edges comes from the stage manifests' recorded row counts —
+        # one fewer driver-blocking count() per clusters() call
+        # (VERDICT r4 #7); the manifest sum is an upper bound under
+        # cross-stage retry duplicates, which can only shift the strategy
+        # cutoff toward the distributed (always-correct) path.
+        edges = self._union(self.view_stages("edges"))
+        return assign_clusters(sigs, edges, n_edges=self.n_edges())

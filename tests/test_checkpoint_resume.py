@@ -369,3 +369,55 @@ def test_store_factory_backend_selection(spark, tmp_path):
     # verified without the jar)
     assert _stage_ident("ice", "ns", "edges") == "ice.ns.ckpt_edges"
     assert _stage_ident("ice", "ns", "a-b.c") == "ice.ns.ckpt_a_b_c"
+
+
+def test_edges_view_distinct_and_manifest_n_edges(spark, tmp_path):
+    """ADVICE r4: a batch retried after a later batch landed can re-emit
+    the same cross-batch pair in its own stage; the public edges() view
+    deduplicates, while n_edges() (VERDICT r4 #7) sums the manifests'
+    recorded row counts driver-side — an upper bound, no Spark action."""
+    store = CheckpointStore(str(tmp_path / "ckpt"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    pair = spark.createDataFrame([("a", "b")], "a_id string, b_id string")
+    store.write_stage("edges_batch_00001", pair)
+    store.write_stage("edges_batch_00002", pair)  # retry-style duplicate
+    assert inc.edges().count() == 1  # public view: set semantics
+    assert inc.n_edges() == 2  # manifest sum: raw upper bound
+
+
+def test_clusters_skips_edge_count_action(spark, tmp_path):
+    """VERDICT r4 #7 done-criterion: clusters() feeds the CC strategy
+    choice from the stage manifests' row counts instead of running its
+    own count() over the edge union — zero count() jobs on the clusters
+    path (the driver union-find materializes via toPandas)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    files = corpus_df(spark, 200).cache()
+    store = CheckpointStore(str(tmp_path / "ckpt"), CFG.config_hash)
+    inc = IncrementalDedup(spark, store, CFG)
+    rows = files.collect()
+    half = len(rows) // 2
+    schema = files.schema
+    inc.ingest_batch(1, spark.createDataFrame(rows[:half], schema))
+    inc.ingest_batch(2, spark.createDataFrame(rows[half:], schema))
+
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(DataFrame, "count", counted)
+        got = _pairs(inc.clusters())
+    finally:
+        mp.undo()
+    assert calls["n"] == 0, calls
+    single = run_pipeline(files, CFG, with_containment=False)
+    assert got == _pairs(single.clusters)
+    single.unpersist()
+    files.unpersist()

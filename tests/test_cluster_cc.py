@@ -71,3 +71,29 @@ def test_distributed_raises_without_fixpoint_budget(spark):
     edges = _edge_df(spark, [(i, i + 1) for i in range(200)])
     with pytest.raises(ConvergenceError):
         _distributed_components(edges, max_iter=2)
+
+
+def test_distributed_checkpoints_only_on_check_rounds(spark, monkeypatch):
+    """VERDICT r4 minor #3: off-round localCheckpoints are skipped — the
+    1000-vertex path converges with one label materialization per CHECK
+    round only (check_every=3 -> checks at 3,6,9,12; fixpoint detected
+    at the round-12 check): 4 label checkpoints + 2 setup (sym + initial
+    labels) = 6, where the per-round variant paid 12 + 2. Labels
+    unchanged."""
+    # patch the concrete class: pyspark.sql.DataFrame is the classic/
+    # connect dispatch facade in Spark 4; instances are classic.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counted(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counted)
+    n = 1000
+    edges = _edge_df(spark, [(i, i + 1) for i in range(n - 1)])
+    out = _distributed_components(edges, max_iter=15, check_every=3).toPandas()
+    assert len(out) == n and set(out.cluster_id) == {0}
+    assert calls["n"] == 6, calls  # 2 setup + 4 check-round label snapshots

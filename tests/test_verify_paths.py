@@ -213,3 +213,69 @@ def test_partial_overlap_kernel_sketches_each_file_once(monkeypatch):
     assert calls["n"] == 51, calls
     assert len(out) == 50
     assert (out["overlap_chars"] >= len(block) - 2 * CFG.winnow_window).all()
+
+
+def test_partial_overlap_cache_spans_arrow_batches(monkeypatch):
+    """VERDICT r4 minor #4 done-criterion: the hub file's minima survive
+    across Arrow batches — the 50 hub pairs split into 3 batches still
+    cost exactly 51 sketch passes (50 smalls + 1 hub), because the cache
+    now has partition lifetime (one _MinimaCache threaded through every
+    batch, as _partial_overlap_kernel's fn does)."""
+    import pandas as pd
+
+    import sketchy_spark.hashing as H
+    from sketchy_spark.operators.verify import _MinimaCache, _overlap_rows
+
+    import random
+
+    rng = random.Random(3)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _"
+    block = "".join(rng.choice(alphabet) for _ in range(2000))
+    big = (
+        "".join(rng.choice(alphabet) for _ in range(400))
+        + block
+        + "".join(rng.choice(alphabet) for _ in range(400))
+    )
+    pairs = pd.DataFrame(
+        {
+            "small_id": [f"s{i:02d}" for i in range(50)],
+            "big_id": ["big"] * 50,
+            "small_c": [f"head{i}|" + block + f"|tail{i}" for i in range(50)],
+            "big_c": [big] * 50,
+        }
+    )
+    calls = {"n": 0}
+    orig = H.batch_shingle_hashes
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(H, "batch_shingle_hashes", counted)
+    cache = _MinimaCache()
+    outs = [
+        _overlap_rows(pairs.iloc[lo:hi], CFG, 512, cache)
+        for lo, hi in ((0, 17), (17, 34), (34, 50))
+    ]
+    out = pd.concat(outs, ignore_index=True)
+    assert calls["n"] == 51, calls
+    assert len(out) == 50
+    assert (out["overlap_chars"] >= len(block) - 2 * CFG.winnow_window).all()
+
+
+def test_minima_cache_byte_bound_evicts():
+    """The partition-lifetime cache is byte-bounded: filling it past
+    max_bytes evicts the least-recently-used entry and keeps the
+    accounting consistent (no unbounded executor memory growth when a
+    partition holds many distinct large files)."""
+    from sketchy_spark.operators.verify import _MinimaCache
+
+    cache = _MinimaCache(max_bytes=1_000_000)  # ~2 entries' worth
+    for i in range(10):
+        cache.get(f"f{i}", "x" * 50_000, CFG)  # ~450 KB each with minima
+    assert len(cache._d) < 10  # evictions happened
+    assert 0 < cache._bytes <= cache.max_bytes
+    # re-fetch of a live entry is a hit (no recompute -> same object)
+    fid = next(reversed(cache._d))
+    before = cache._d[fid]
+    assert cache.get(fid, "ignored-on-hit", CFG) is before
