@@ -166,10 +166,9 @@ def run_sf_queries(spark) -> dict[str, float]:
     names = [
         "token_count", "quality_score", "minhash_signatures",
         "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_dup_pairs",
-        "cosine_topk", "ann_bucketed", "ann_multiprobe", "cumsum_stream",
-        "topk_rank",
+        "cosine_topk", "ann_bucketed", "ann_multiprobe",
+        "ann_multiprobe_scale", "cumsum_stream", "topk_rank",
     ]
-    out = {}
     fresh: dict[str, list[float]] = {}
     sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
     for name in names:
@@ -187,11 +186,15 @@ def run_sf_queries(spark) -> dict[str, float]:
     # ...then pooled across invocations at the same code fingerprint,
     # exactly like the headline: this host's noise comes in multi-minute
     # episodes that blanket whole invocations, so a single-window query
-    # table mismeasures the code. All trials persist in the pool file.
+    # table mismeasures the code. All trials persist in the pool file;
+    # REPORTED statistics use the fixed most-recent-POOL_K window.
     pooled = _merge_trials(fresh)
+    out, stats = {}, {}
     for name in names:
-        out[name] = round(min(pooled[f"q_{name}_{sf_tag}"]), 3)
-    return out
+        st = _stats(pooled[f"q_{name}_{sf_tag}"])
+        out[name] = st["min"]
+        stats[name] = st
+    return out, stats
 
 
 def calibrate_host_cores() -> dict:
@@ -326,12 +329,38 @@ def _code_fingerprint() -> str:
 
     root = Path(__file__).resolve().parent
     h = hashlib.sha256()
+    # __spark_entry__.py is ON the timed path (queries() closures run
+    # inside run_sf_queries) — ADVICE r4: omitting it let edits to the
+    # timed query code reuse a stale pool under the same fingerprint.
     for p in sorted((root / "sketchy_spark").rglob("*.py")) + [
-        root / "bench.py"
+        root / "bench.py",
+        root / "__spark_entry__.py",
     ]:
         h.update(str(p.relative_to(root)).encode())
         h.update(p.read_bytes())
     return h.hexdigest()[:12]
+
+
+# Fixed-size statistic window (VERDICT r4 #2): the pool persists EVERY
+# trial for transparency, but reported statistics use only the most
+# recent POOL_K trials — min over an unboundedly growing pool drifts
+# downward with sample count alone (r4's "beats r2 best by 15%" compared
+# min-of-28 against min-of-2), so cross-round claims must be min/median
+# of a like-for-like fixed-size window.
+POOL_K = 8
+
+
+def _stats(trials: list[float]) -> dict:
+    """{min, median, n, pool_n} over the most recent POOL_K trials."""
+    import statistics
+
+    window = trials[-POOL_K:]
+    return {
+        "min": round(min(window), 3),
+        "median": round(statistics.median(window), 3),
+        "n": len(window),
+        "pool_n": len(trials),
+    }
 
 
 def _merge_trials(new: dict[str, list[float]]) -> dict[str, list[float]]:
@@ -362,38 +391,152 @@ def _merge_trials(new: dict[str, list[float]]) -> dict[str, list[float]]:
     return pool["trials"]
 
 
+def run_pipeline_staged(spark, corpus_path: str, n: int) -> dict:
+    """Per-stage wall decomposition of the dedup pipeline (VERDICT r4 #6):
+    successive actions materialize sketch -> edges (band join + cascade
+    verify) -> clusters, each stage's upstream already cached/persisted
+    by the previous action, so each delta is that stage's own work."""
+    from sketchy_spark.config import SketchConfig
+    from sketchy_spark.pipeline import run_pipeline
+
+    files = spark.read.parquet(corpus_path)
+    out = {}
+    t0 = time.time()
+    res = run_pipeline(files, SketchConfig(), with_containment=False)
+    res.signatures.count()  # sketch UDF stage + cache population
+    out["sketch_s"] = round(time.time() - t0, 2)
+    t1 = time.time()
+    n_edges = res.edges.count()  # band join + cascade verify + union
+    out["edges_s"] = round(time.time() - t1, 2)
+    t2 = time.time()
+    res.clusters.groupBy().count().collect()  # CC + label attach
+    out["clusters_s"] = round(time.time() - t2, 2)
+    out["total_s"] = round(time.time() - t0, 2)
+    out["rows"] = n
+    out["n_edges"] = n_edges
+    out["files_per_sec"] = round(n / out["total_s"], 1)
+    res.unpersist()
+    return out
+
+
+def synth_embeddings(spark, n: int):
+    """Deterministic synthetic embedding table (64-dim, values in
+    [-1, 1)) — pure SQL hash mix, no Python RNG, so both ANN timing
+    levels see identical data across runs."""
+    import pyspark.sql.functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "cast(pmod(xxhash64(id, d), 20000) as float) / 10000.0 - 1.0)"
+        ).alias("embedding"),
+    )
+
+
+def run_sf1() -> dict:
+    """The sf1 (1M-file) section (VERDICT r4 #6): pipeline per-stage
+    walls at the headline 100k AND at 1M files on the same session, plus
+    the sparse-config ANN at 5k and 50k vectors — evidence the r4 wins
+    hold an order of magnitude up (no stage growing super-linearly).
+    Expensive (~ minutes), so it runs only under ``--sf1`` and main()
+    attaches the cached result while the code fingerprint matches."""
+    from sketchy_spark.functions.similarity import ann_multiprobe, ann_params
+
+    n_big = int(os.environ.get("SKETCHY_SF1_N", "1000000"))
+    corpus_small = stage_tmpfs(prepare_corpus(BENCH_N))
+    corpus_big = stage_tmpfs(prepare_corpus(n_big))
+    spark = _session(CPUS, tag="sf1")
+    _warmup(spark, corpus_small)
+    stages = {}
+    stages[str(BENCH_N)] = run_pipeline_staged(spark, corpus_small, BENCH_N)
+    stages[str(n_big)] = run_pipeline_staged(spark, corpus_big, n_big)
+    bits, probes = ann_params(0.9)
+    ann = {}
+    for n_vec in (5000, 50000):
+        emb = synth_embeddings(spark, n_vec).cache()
+        emb.count()  # data generation outside the timed region
+
+        def run_ann() -> float:
+            t0 = time.time()
+            ann_multiprobe(
+                emb, threshold=0.30, bits=bits, probes=probes
+            ).groupBy().count().collect()
+            return time.time() - t0
+
+        run_ann()  # plan/codegen warm
+        ann[str(n_vec)] = round(min(run_ann(), run_ann()), 2)
+        emb.unpersist()
+    spark.stop()
+    out = {
+        "stages": stages,
+        "ann_sparse_s": ann,
+        "ann_params": [bits, probes],
+        "fingerprint": _code_fingerprint(),
+    }
+    SCRATCH.mkdir(exist_ok=True)
+    (SCRATCH / "sf1_results.json").write_text(json.dumps(out))
+    return out
+
+
+def _load_sf1() -> dict | None:
+    """Cached --sf1 section, valid only at the current code fingerprint."""
+    p = SCRATCH / "sf1_results.json"
+    if not p.exists():
+        return None
+    try:
+        d = json.loads(p.read_text())
+    except (ValueError, OSError):
+        return None
+    if d.get("fingerprint") != _code_fingerprint():
+        return None
+    return d
+
+
 def main() -> None:
+    if "--sf1" in sys.argv:
+        print(json.dumps({"sf1": run_sf1()}))
+        return
     scaling = "--scaling" in sys.argv
     corpus = stage_tmpfs(prepare_corpus(BENCH_N))
 
     spark = _session(CPUS)
     _warmup(spark, corpus)  # session/codegen warmup BEFORE any timed query
-    queries = run_sf_queries(spark)
+    queries, qstats = run_sf_queries(spark)
     # best-of-2 within the run (first full-size run pays first-touch page
     # faults + codegen), then pooled with earlier invocations AT THE SAME
     # CODE REV: this host's noise comes in multi-minute episodes that can
     # blanket a whole invocation (r3's 19.7s "headline regression" vs
     # r2's 17.6s was exactly this — every sub-query improved while the
-    # composite got slower), so the honest headline best-of spans windows
-    # just like the scaling trials. All trials are listed in the output.
+    # composite got slower). All trials are listed; REPORTED statistics
+    # are min+median over the fixed last-POOL_K window (VERDICT r4 #2).
     run_trials = [run_dedup_pipeline(spark, corpus, BENCH_N) for _ in range(2)]
     headline_key = f"headline_{BENCH_N}"
     pooled = _merge_trials({headline_key: run_trials})[headline_key]
-    pipeline_s = min(pooled)
-    queries["pipeline_dedup"] = round(pipeline_s, 3)
+    hstat = _stats(pooled)
+    pipeline_s = hstat["min"]
+    queries["pipeline_dedup"] = hstat["min"]
+    qstats["pipeline_dedup"] = hstat
     spark.stop()
 
     result = {
         "metric": "end_to_end_dedup_wall_sec",
-        "value": round(pipeline_s, 3),
+        "value": pipeline_s,
+        "value_median": hstat["median"],
+        "trials_n": hstat["n"],
         "unit": "sec",
         "queries": queries,
+        "queries_stats": qstats,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "bench_rows": BENCH_N,
         "files_per_sec": round(BENCH_N / pipeline_s, 1),
+        "files_per_sec_median": round(BENCH_N / hstat["median"], 1),
         "cpus": int(CPUS),
         "headline_trials": [round(x, 1) for x in pooled],
     }
+    sf1 = _load_sf1()
+    if sf1 is not None:
+        result["sf1"] = sf1
 
     if scaling:
         scaling_corpus = stage_tmpfs(prepare_corpus(SCALING_N))
@@ -442,11 +585,13 @@ def main() -> None:
         )
         ex_trials = {t: pool[t + sfx] for t in (f"{lo_n}ex", f"{hi_n}ex")}
         th_trials = {c: pool[c + sfx] for c in (lo, hi)}
-        ex_best = {t: min(v) for t, v in ex_trials.items()}
+        # fixed-window statistics at both levels (same window size, so
+        # the ratio is like-for-like regardless of pool growth)
+        ex_best = {t: _stats(v)["min"] for t, v in ex_trials.items()}
         ex_eff = (ex_best[f"{lo_n}ex"] / ex_best[f"{hi_n}ex"]) / (
             hi_n // lo_n
         )
-        th_best = {c: min(v) for c, v in th_trials.items()}
+        th_best = {c: _stats(v)["min"] for c, v in th_trials.items()}
         th_eff = (th_best[lo] / th_best[hi]) / (int(hi) // int(lo))
 
         result["scaling"] = {
@@ -458,6 +603,7 @@ def main() -> None:
                 "trials": {
                     t: [round(x, 1) for x in v] for t, v in ex_trials.items()
                 },
+                "stats": {t: _stats(v) for t, v in ex_trials.items()},
                 "files_per_sec": {
                     t: round(SCALING_N / b, 1) for t, b in ex_best.items()
                 },
@@ -526,19 +672,23 @@ The same job, same input (**{ex["scaling_rows"]} files**), at N=1 vs
 11 GiB each) via Spark's ``local-cluster`` master — each executor has
 its own heap, GC, shuffle server, and Python workers, exactly as
 `spark-submit --py-files` to a standalone cluster would (the package
-ships to executors via the session's executor PYTHONPATH). Best of
-{len(ex["trials"][lo_t])} warm trials per level, interleaved across
-levels AND accumulated across --scaling invocations at this code
-revision (this host shows episodic noise bursts lasting whole runs —
-identical trials vary up to 2x; every recorded trial is listed).
+ships to executors via the session's executor PYTHONPATH). Statistics
+are min AND median over the FIXED most-recent-{POOL_K} window of the
+trial pool (VERDICT r4 #2: pool-min over unbounded n drifts downward
+with sample count alone, so cross-round comparison is valid only on
+like-for-like fixed windows); trials interleave across levels and
+accumulate across --scaling invocations at this code revision (this
+host shows episodic noise bursts lasting whole runs — identical trials
+vary up to 2x; every recorded trial is listed).
 
-| cluster size | best wall (s) | files/sec | all trials (s) |
-|---|---|---|---|
-| 1 executor x {ex["cores_per_executor"]} core | {min(ex["trials"][lo_t]):.1f} | {ex["files_per_sec"][lo_t]} | {ex["trials"][lo_t]} |
-| 4 executors x {ex["cores_per_executor"]} core | {min(ex["trials"][hi_t]):.1f} | {ex["files_per_sec"][hi_t]} | {ex["trials"][hi_t]} |
+| cluster size | min wall (s) | median wall (s) | window n | files/sec (min) | all trials (s) |
+|---|---|---|---|---|---|
+| 1 executor x {ex["cores_per_executor"]} core | {ex["stats"][lo_t]["min"]:.1f} | {ex["stats"][lo_t]["median"]:.1f} | {ex["stats"][lo_t]["n"]} | {ex["files_per_sec"][lo_t]} | {ex["trials"][lo_t]} |
+| 4 executors x {ex["cores_per_executor"]} core | {ex["stats"][hi_t]["min"]:.1f} | {ex["stats"][hi_t]["median"]:.1f} | {ex["stats"][hi_t]["n"]} | {ex["files_per_sec"][hi_t]} | {ex["trials"][hi_t]} |
 
 **Scaling efficiency (T_1ex/T_4ex)/4 = {ex["efficiency"]}** (target >= 0.8,
-BASELINE.md row 8).{_gate_note(ex["efficiency"])}
+BASELINE.md row 8), computed on the fixed-window minima at both
+levels.{_gate_note(ex["efficiency"])}
 
 ## Why 1-core executors: the host's STREAMING envelope (named bottleneck)
 
@@ -627,16 +777,59 @@ largest single gap is the ~1.5s driver union-find window, by design
 
 ## Headline pipeline at {result["bench_rows"]} files, local[{result["cpus"]}]
 
-{result["files_per_sec"]} files/sec ({result["value"]}s end-to-end).
+min of the fixed last-{POOL_K} window: {result["value"]}s end-to-end
+({result["files_per_sec"]} files/sec); median of the same window:
+{result["value_median"]}s ({result["files_per_sec_median"]} files/sec),
+window n = {result["trials_n"]}. Cross-round deltas are meaningful only
+on these like-for-like fixed-window statistics (VERDICT r4 #2).
 
 ## Per-query timings at sf{result["sf"]} on local[{result["cpus"]}]
 
-| query | sec |
-|---|---|
+min / median over the fixed last-{POOL_K} trial window per query:
+
+| query | min (s) | median (s) | window n |
+|---|---|---|---|
 """ + "\n".join(
-        f"| {k} | {v} |" for k, v in sorted(result["queries"].items())
-    ) + "\n"
+        f"| {k} | {st['min']} | {st['median']} | {st['n']} |"
+        for k, st in sorted(result["queries_stats"].items())
+    ) + "\n" + _sf1_md(result)
     Path(__file__).parent.joinpath("BENCH", "BASELINE.md").write_text(md)
+
+
+def _sf1_md(result: dict) -> str:
+    sf1 = result.get("sf1")
+    if not sf1:
+        return ""
+    stages = sf1["stages"]
+    keys = sorted(stages, key=int)
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi) / int(lo)
+    rows = []
+    for st in ("sketch_s", "edges_s", "clusters_s", "total_s"):
+        r = stages[hi][st] / max(stages[lo][st], 1e-9)
+        rows.append(
+            f"| {st[:-2]} | {stages[lo][st]} | {stages[hi][st]} | "
+            f"{r:.1f}x |"
+        )
+    ann = sf1["ann_sparse_s"]
+    ann_keys = sorted(ann, key=int)
+    b, t = sf1["ann_params"]
+    return f"""
+## sf1 section: 1M-file pipeline + sparse ANN (VERDICT r4 #6)
+
+Per-stage walls at {lo} vs {hi} files ({ratio:.0f}x data) on one
+local[{result["cpus"]}] session; a scale-safe stage grows <= {ratio:.0f}x:
+
+| stage | {lo} files (s) | {hi} files (s) | growth |
+|---|---|---|---|
+""" + "\n".join(rows) + f"""
+
+Sparse-config ANN (bits={b}, probes={t} from ann_params(0.9)) on
+deterministic synthetic 64-dim embeddings:
+
+| vectors | wall (s) |
+|---|---|
+""" + "\n".join(f"| {k} | {ann[k]} |" for k in ann_keys) + "\n"
 
 
 if __name__ == "__main__":

@@ -54,3 +54,37 @@ def test_merge_trials_rounds_to_millis(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "SCRATCH", tmp_path)
     pool = bench._merge_trials({"headline_100000": [25.123456]})
     assert pool["headline_100000"] == [25.123]
+
+
+def test_stats_fixed_window():
+    """VERDICT r4 #2: reported statistics come from the fixed most-recent
+    POOL_K window, not the whole pool — a 20-trial pool whose early
+    trials include an outlier-fast 1.0 reports the window's own min."""
+    import bench
+
+    trials = [1.0] + [30.0] * 15 + [20.0, 22.0, 24.0, 26.0]
+    st = bench._stats(trials)
+    assert st["n"] == bench.POOL_K
+    assert st["pool_n"] == 20
+    assert st["min"] == 20.0  # the pool-wide 1.0 is outside the window
+    assert st["median"] == 28.0  # median of the last 8
+    short = bench._stats([5.0, 3.0])
+    assert short == {"min": 3.0, "median": 4.0, "n": 2, "pool_n": 2}
+
+
+def test_fingerprint_covers_spark_entry(tmp_path, monkeypatch):
+    """ADVICE r4 (medium): __spark_entry__.py is on the timed path, so
+    editing it must change the fingerprint and reset the pool."""
+    import pathlib
+
+    import bench
+
+    fp_before = bench._code_fingerprint()
+    entry = pathlib.Path(bench.__file__).parent / "__spark_entry__.py"
+    orig = entry.read_bytes()
+    try:
+        entry.write_bytes(orig + b"\n# fingerprint probe\n")
+        assert bench._code_fingerprint() != fp_before
+    finally:
+        entry.write_bytes(orig)
+    assert bench._code_fingerprint() == fp_before
