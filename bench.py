@@ -451,9 +451,15 @@ def run_sf1() -> dict:
     stages = {}
     stages[str(BENCH_N)] = run_pipeline_staged(spark, corpus_small, BENCH_N)
     stages[str(n_big)] = run_pipeline_staged(spark, corpus_big, n_big)
-    bits, probes = ann_params(0.9)
     ann = {}
+    ann_cfg = {}
     for n_vec in (5000, 50000):
+        # n-aware density criterion: bits grows with log2(n) so bucket
+        # occupancy (per-probe join fan-out) stays constant — a fixed
+        # bits=10 measured 21x wall growth for 10x vectors (quadratic
+        # within-bucket floor); the derived widths keep growth ~n^1.2
+        bits, probes = ann_params(0.9, n=n_vec)
+        ann_cfg[str(n_vec)] = [bits, probes]
         emb = synth_embeddings(spark, n_vec).cache()
         emb.count()  # data generation outside the timed region
 
@@ -471,7 +477,7 @@ def run_sf1() -> dict:
     out = {
         "stages": stages,
         "ann_sparse_s": ann,
-        "ann_params": [bits, probes],
+        "ann_params": ann_cfg,
         "fingerprint": _code_fingerprint(),
     }
     SCRATCH.mkdir(exist_ok=True)
@@ -813,7 +819,7 @@ def _sf1_md(result: dict) -> str:
         )
     ann = sf1["ann_sparse_s"]
     ann_keys = sorted(ann, key=int)
-    b, t = sf1["ann_params"]
+    cfg = sf1["ann_params"]
     return f"""
 ## sf1 section: 1M-file pipeline + sparse ANN (VERDICT r4 #6)
 
@@ -824,12 +830,15 @@ local[{result["cpus"]}] session; a scale-safe stage grows <= {ratio:.0f}x:
 |---|---|---|---|
 """ + "\n".join(rows) + f"""
 
-Sparse-config ANN (bits={b}, probes={t} from ann_params(0.9)) on
-deterministic synthetic 64-dim embeddings:
+Sparse-config ANN with the n-aware density criterion
+(ann_params(0.9, n=...): bucket width grows with log2(n) to hold
+occupancy constant) on deterministic synthetic 64-dim embeddings:
 
-| vectors | wall (s) |
-|---|---|
-""" + "\n".join(f"| {k} | {ann[k]} |" for k in ann_keys) + "\n"
+| vectors | (bits, probes) | wall (s) |
+|---|---|---|
+""" + "\n".join(
+        f"| {k} | {tuple(cfg[k])} | {ann[k]} |" for k in ann_keys
+    ) + "\n"
 
 
 if __name__ == "__main__":

@@ -114,7 +114,11 @@ def sign_bucket_expr_offset(col: str, bits: int, offset: int) -> str:
 
 
 def ann_params(
-    threshold: float, target_recall: float = 0.9, max_probes: int = 10
+    threshold: float,
+    target_recall: float = 0.9,
+    max_probes: int = 10,
+    n: int | None = None,
+    avg_bucket: int = 4,
 ) -> tuple[int, int]:
     """Derive (bits, probes) for :func:`ann_multiprobe` from the target
     cosine threshold (VERDICT r4 #1 — the docstring math, now a code
@@ -131,22 +135,42 @@ def ann_params(
     b=10, T=10 (1024-way buckets). Thresholds so low that even 1-bit
     buckets miss the probe budget are IVF territory, not sign-LSH:
     ValueError rather than a silently quadratic plan.
+
+    ``n`` (collection size, when known) adds the DENSITY criterion any
+    fixed-bits config eventually violates: within-bucket pairs grow as
+    n^2/2^bits, so 1024-way buckets that are sparse at 5k vectors hold
+    ~n/1024 members each at 10M and the self-join is quadratic again
+    (measured: 0.61s at 5k -> 13s at 50k for fixed b=10). With ``n``,
+    bits is raised to keep expected bucket occupancy at ``avg_bucket``
+    (bits >= log2(n/avg_bucket)) and probes recomputed for the target
+    recall at that width — probes grow by only ~(1/p) per extra bit
+    (x1.17 at c=0.9), so candidate volume scales ~n * (1/p)^log2(n)
+    ~ n^1.2 instead of n^2: the 10^9-row regime costs ~10^2 probes, the
+    standard banded-LSH economics (MinHash runs 32 bands the same way).
+    The ``max_probes`` budget governs only the density-free search; the
+    density criterion overrides it by design and is reported honestly in
+    the returned probe count.
     """
     import math
 
     c = min(max(threshold, -1.0), 1.0)
     p = 1.0 - math.acos(c) / math.pi
-    best: tuple[int, int] | None = None
-    for bits in range(1, 17):
+
+    def probes_for(bits: int) -> int | None:
         q = p**bits
         if q >= 1.0:
-            probes = 1
-        elif q <= 0.0:
+            return 1
+        if q <= 0.0:
+            return None
+        return math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - q)
+        )
+
+    best: tuple[int, int] | None = None
+    for bits in range(1, 17):
+        probes = probes_for(bits)
+        if probes is None:
             break
-        else:
-            probes = math.ceil(
-                math.log(1.0 - target_recall) / math.log(1.0 - q)
-            )
         if probes <= max_probes:
             best = (bits, probes)  # keep widening while feasible
     if best is None:
@@ -154,12 +178,25 @@ def ann_params(
             f"threshold {threshold} needs > {max_probes} probes even at "
             "1-bit buckets; use IVF / brute-force, not sign-LSH"
         )
+    if n is not None and n > 0:
+        density_bits = max(
+            best[0], math.ceil(math.log2(max(n / avg_bucket, 1.0)))
+        )
+        density_bits = min(density_bits, 62)
+        probes = probes_for(density_bits)
+        if probes is None:
+            raise ValueError(
+                f"threshold {threshold} cannot reach recall "
+                f"{target_recall} at the {density_bits}-bit bucket width "
+                f"n={n} requires; use IVF"
+            )
+        best = (density_bits, probes)
     return best
 
 
 def ann_multiprobe(
     emb: DataFrame, threshold: float = 0.9, bits: int | None = None,
-    probes: int | None = None,
+    probes: int | None = None, n: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH near-neighbor pairs (VERDICT r1 #10): OR of
     ``probes`` bucket tables, each over a rotated dim window, then exact
@@ -170,9 +207,13 @@ def ann_multiprobe(
     threshold via :func:`ann_params`, so the production dup-detection
     path (c >= 0.9) gets sparse 1024-way buckets (b=10, T=10) instead of
     the formerly-default b=4 (16 buckets/probe — an O(n^2/16)x12
-    within-bucket join at scale). Explicit ``bits``/``probes`` remain for
-    fixtures: the low-threshold oracle uses b=4/T=12 at c=0.45, where
-    ann_params(0.45, max_probes=12) reproduces exactly that pair.
+    within-bucket join at scale). ``n`` (row count, counted once from
+    ``emb`` when omitted) feeds ann_params' density criterion, widening
+    buckets with log2(n) so occupancy — and with it the per-probe join
+    fan-out — stays constant as the collection grows. Explicit
+    ``bits``/``probes`` remain for fixtures: the low-threshold oracle
+    uses b=4/T=12 at c=0.45, where ann_params(0.45, max_probes=12)
+    reproduces exactly that pair.
     """
     # Plan note (r4): the simhash first-matching-band rewrite
     # (sql_dedup.py) was tried here — one (probe, bucket) self-join with
@@ -189,7 +230,9 @@ def ann_multiprobe(
     # sparse config; the fan-out/dedup economics are unchanged because
     # the join key stays 12 bytes and distinct still collapses the OR).
     if bits is None or probes is None:
-        d_bits, d_probes = ann_params(threshold)
+        if n is None:
+            n = emb.count()  # one scan; feeds the density criterion
+        d_bits, d_probes = ann_params(threshold, n=n)
         bits = d_bits if bits is None else bits
         probes = d_probes if probes is None else probes
     buckets_expr = (

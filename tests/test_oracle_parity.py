@@ -119,6 +119,16 @@ def test_ann_params_derivation():
     assert sim.ann_params(0.45, max_probes=12) == (4, 12)
     with pytest.raises(ValueError):
         sim.ann_params(-0.95, max_probes=2)
+    # density criterion: bits grows with log2(n) (constant bucket
+    # occupancy), probes grows gently (~1.17x per extra bit at c=0.9) —
+    # candidate volume stays ~n^1.2 instead of the fixed-bits n^2 floor
+    small = sim.ann_params(0.9, n=1000)
+    big = sim.ann_params(0.9, n=50_000)
+    huge = sim.ann_params(0.9, n=1_000_000_000)
+    assert small == (10, 10)  # density slack: recall criterion binds
+    assert big[0] == 14 and big[1] < 2.5 * big[0]  # log2(50k/4) ~ 13.6
+    assert huge[0] == 28 and huge[1] < 200
+    assert small[0] <= big[0] <= huge[0]
 
 
 def test_ann_multiprobe_sparse_default_recall(spark):
