@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_multiprobe_scale"] = lambda s, d: sim.ann_multiprobe(
         _emb(s, d), threshold=0.30, bits=scale_bits, probes=scale_probes
     )
+    # IVF: the low-threshold regime ann_params refuses ("use IVF").
+    # This is the PRODUCTION default path — n_cells derived as
+    # ceil(sqrt(n)) — oracle-able because the hash-sampled quantizer is
+    # deterministic given n (the oracle hardcodes sf0.01's n=500 ->
+    # 23 cells; the driver's correctness compare runs at sf0.01 only).
+    q["ann_ivf"] = lambda s, d: sim.ann_ivf(_emb(s, d), threshold=0.30)
 
     # --- murmur pipeline on the planted corpus (non-SQL-expressible:
     #     Arrow kernels + iterative CC -> rows-only driver check) ---
@@ -314,12 +320,17 @@ _DOUBLED = (
     "(select doc_id, text from documents "
     "union all select doc_id + 100000, text from documents)"
 )
-_COS_D = (
-    "round(list_sum(list_transform(range(1, len(a_emb) + 1), "
-    "i -> a_emb[i]::DOUBLE * b_emb[i])) / "
-    "(sqrt(list_sum(list_transform(a_emb, x -> x::DOUBLE * x))) * "
-    " sqrt(list_sum(list_transform(b_emb, x -> x::DOUBLE * x)))), 6)"
-)
+def _cos_d(x: str, y: str) -> str:
+    """DuckDB mirror of similarity.cos_expr for arbitrary column names."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> {x}[i]::DOUBLE * {y}[i])) / "
+        f"(sqrt(list_sum(list_transform({x}, x -> x::DOUBLE * x))) * "
+        f" sqrt(list_sum(list_transform({y}, x -> x::DOUBLE * x)))), 6)"
+    )
+
+
+_COS_D = _cos_d("a_emb", "b_emb")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -594,6 +605,59 @@ def oracle_sql() -> dict[str, str]:
     o["ann_multiprobe_scale"] = _multiprobe_oracle(
         *sim.ann_params(0.9), 0.30
     )
+    # IVF production default (n_cells=ceil(sqrt(n)), nprobe=2,
+    # threshold=0.30): hash-sampled centroids (smallest md5 of the id
+    # string — Spark md5(cast(vec_id as string)) and DuckDB
+    # md5(vec_id::VARCHAR) agree byte-for-byte), rounded-cosine
+    # assignment with cid-asc tie-break, top-2 cells per vector,
+    # same-cell candidates, exact verify. `limit 23` IS the derived
+    # default at the driver's sf0.01 (ceil(sqrt(500)) = 23) — the
+    # oracle pins what ann_ivf computes for itself from emb.count().
+    # cosine mirrored as dot * a_inv * b_inv (inverse norms computed once
+    # per vector, exactly as ann_ivf does to keep the interpreted
+    # higher-order-function work linear in n, not in candidate pairs).
+    ivf_inv = (
+        "(1.0::DOUBLE / sqrt(list_sum("
+        "list_transform({x}, v -> v::DOUBLE * v))))"
+    )
+    ivf_dot = (
+        "list_sum(list_transform(range(1, len({x}) + 1), "
+        "i -> {x}[i]::DOUBLE * {y}[i]))"
+    )
+    ivf_vcos = (
+        f"round({ivf_dot.format(x='a_emb', y='b_emb')}"
+        " * a_inv * b_inv, 6)"
+    )
+    o["ann_ivf"] = f"""
+        with embn as (
+          select vec_id, embedding,
+                 {ivf_inv.format(x="embedding")} as inv_norm
+          from embeddings),
+        cent as (
+          select vec_id cid, embedding c_emb, inv_norm c_inv from embn
+          order by md5(vec_id::VARCHAR), vec_id limit 23),
+        scored as (
+          select e.vec_id, c.cid,
+                 round({ivf_dot.format(x="e.embedding", y="c.c_emb")}
+                       * e.inv_norm * c.c_inv, 6) as ccos
+          from embn e cross join cent c),
+        cells as (
+          select vec_id, cid from
+            (select vec_id, cid, row_number() over
+               (partition by vec_id order by ccos desc, cid asc) rn
+             from scored)
+          where rn <= 2),
+        c as (select distinct a.vec_id a_id, b.vec_id b_id
+              from cells a join cells b on a.cid = b.cid
+                                        and a.vec_id < b.vec_id),
+        j as (select c.a_id, c.b_id,
+                     ea.embedding a_emb, ea.inv_norm a_inv,
+                     eb.embedding b_emb, eb.inv_norm b_inv
+              from c join embn ea on c.a_id = ea.vec_id
+                     join embn eb on c.b_id = eb.vec_id)
+        select a_id, b_id, {ivf_vcos} as cosine from j
+        where {ivf_vcos} >= 0.30
+    """
     # planted_clusters / planted_verified_pairs / planted_containment:
     # intentionally no oracle (iterative CC + Arrow murmur kernels are not
     # SQL-expressible) -> driver records rows-only checks.

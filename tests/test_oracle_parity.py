@@ -170,3 +170,44 @@ def test_ann_multiprobe_sparse_default_recall(spark):
     assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(truth)})"
     assert got <= truth  # exact cosine verify: no false positives
     emb.unpersist()
+
+
+def test_ann_ivf_recall_default_quantizer(spark):
+    """ann_ivf completes the decision tree ann_params points to ("use
+    IVF, not sign-LSH" at low thresholds): on the planted-twins corpus
+    (cos ~0.958 pairs), the DEFAULT call — n_cells derived as
+    ceil(sqrt(n)), nprobe=2 — must catch >= 0.9 of the exact truth with
+    zero false positives (exact cosine verify). Twins are near-identical
+    so their centroid-cosine rankings agree; nprobe=2 covers boundary
+    flips."""
+    import numpy as np
+
+    from sketchy_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(7)
+    dim, n_base = 64, 100
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.randn(n_base, dim)
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = base + 0.3 * noise
+    vecs = np.vstack([base, twins])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in sim.embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(truth) >= n_base
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in sim.ann_ivf(emb, threshold=0.9).collect()  # all defaults
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(truth)})"
+    assert got <= truth
+    assert sim.ivf_cells(200) == 15  # ceil(sqrt(200)): quantizer sizing
+    emb.unpersist()
