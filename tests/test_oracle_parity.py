@@ -211,3 +211,41 @@ def test_ann_ivf_recall_default_quantizer(spark):
     assert got <= truth
     assert sim.ivf_cells(200) == 15  # ceil(sqrt(200)): quantizer sizing
     emb.unpersist()
+
+
+def test_ann_ivf_plan_pins_scale_properties(spark):
+    """Pins the two plan properties ann_ivf's scale story depends on, so
+    a refactor can't silently drop either:
+
+    1. a NUMBERED repartition on the cell key before the self-join —
+       without it AQE coalesces the tiny-bytes cid exchange to one
+       partition and a single task runs the whole occupancy-fold join
+       expansion (measured >500s single-core at 50k vectors);
+    2. the per-vector top-nprobe compiles to a map-side Partial
+       WindowGroupLimit BEFORE the vec_id exchange, and (runtime, AQE)
+       the b-side of the self-join reuses the a-side's assignment
+       pipeline via ReusedExchange instead of recomputing the O(n*C)
+       centroid scoring."""
+    from sketchy_spark.functions import similarity as sim
+    from sketchy_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    df = sim.ann_ivf(emb, threshold=0.30, n_cells=8, nprobe=2)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    nparts = spark.conf.get("spark.sql.shuffle.partitions")
+    assert f"Exchange hashpartitioning(cid#" in plan or (
+        f"hashpartitioning(cid" in plan
+    ), plan
+    # REPARTITION_BY_NUM marks the user-numbered repartition AQE must
+    # not coalesce (ENSURE_REQUIREMENTS exchanges are fair game)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    ipartial = plan.find("row_number(), 2, Partial")
+    ifinal = plan.find("row_number(), 2, Final")
+    assert ipartial != -1 and ifinal != -1, plan
+    assert "Exchange hashpartitioning(vec_id" in plan[ifinal:ipartial]
+    # runtime: AQE stage reuse must collapse the b-side assignment scan.
+    # Collect df ITSELF (an action on a derived frame finalizes the
+    # derived plan, not this one — executedPlan stays isFinalPlan=false).
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:4000]
