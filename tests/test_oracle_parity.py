@@ -244,8 +244,37 @@ def test_ann_ivf_plan_pins_scale_properties(spark):
     assert ipartial != -1 and ifinal != -1, plan
     assert "Exchange hashpartitioning(vec_id" in plan[ifinal:ipartial]
     # runtime: AQE stage reuse must collapse the b-side assignment scan.
-    # Collect df ITSELF (an action on a derived frame finalizes the
-    # derived plan, not this one — executedPlan stays isFinalPlan=false).
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed, executed[:4000]
+    # Two hermeticity constraints, both verified by direct experiment:
+    # 1. non-broadcast regime forced (at test sizes AQE may broadcast
+    #    one side of the cells self-join — then there is no shuffle
+    #    pair to reuse and the property is moot; at scale cells never
+    #    broadcast and both sides shuffle on cid, where recomputing the
+    #    O(n*C) assignment would hurt);
+    # 2. the input must NOT be cached: a cached source wraps each join
+    #    side in its own TableCacheQueryStage (distinct stage ids), the
+    #    exchange subtrees stop canonicalizing equal, and reuse is
+    #    defeated (measured: ReusedExchange 0, every ShuffleQueryStage
+    #    id unique). Acceptable operator behavior — a cached input
+    #    makes the recompute an in-memory rescan, and a 100 TB input is
+    #    never fully cached — but it means this check needs a fresh
+    #    never-cached DataFrame, not the shared parquet another test
+    #    may have cached. Collect df2 ITSELF (an action on a derived
+    #    frame finalizes the derived plan, not this one).
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    fresh = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}  # None = was unset
+    try:
+        for k in keys:
+            conf.set(k, "-1")
+        df2 = sim.ann_ivf(fresh, threshold=0.30, n_cells=8, nprobe=2)
+        df2.collect()
+        executed = df2._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, executed[:4000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
