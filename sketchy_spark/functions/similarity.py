@@ -16,19 +16,89 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+# Unrolled-expression fast path width (r6 optimization): Spark's
+# higher-order functions (aggregate/zip_with/transform) are
+# CodegenFallback — every element of every row pays an interpreted
+# lambda dispatch, which made the exact-cosine verify the dominant cost
+# of every embedding query (guide §4.1: prefer codegen built-ins). For
+# the fixture dimensionality the fold is unrolled into a left-associated
+# chain of element_at products — BIT-IDENTICAL to the fold by
+# construction (same 0D seed, same operand order, same casts: float
+# addition is applied in exactly the same sequence) — and guarded by a
+# size() check that falls back to the original fold expression for any
+# other dimensionality, so results are unchanged for every input.
+_UNROLL_DIM = 64
+
+
+def _chain(terms, init: str) -> str:
+    """Left-associated addition chain: ((init + t1) + t2) + ... — the
+    exact evaluation order of aggregate's sequential fold."""
+    e = init
+    for t in terms:
+        e = f"({e} + {t})"
+    return e
+
+
+def _dot_expr(x: str, y: str) -> str:
+    """Dot product of two array<float> columns: unrolled codegen chain at
+    _UNROLL_DIM, original interpreted fold otherwise (bit-identical)."""
+    hof = (
+        f"aggregate(zip_with({x}, {y}, (x, y) -> "
+        "cast(x as double) * y), "
+        "0d, (acc, v) -> acc + v)"
+    )
+    unrolled = _chain(
+        (
+            f"(cast(element_at({x}, {i}) as double) * "
+            f"cast(element_at({y}, {i}) as double))"
+            for i in range(1, _UNROLL_DIM + 1)
+        ),
+        "0D",
+    )
+    return (
+        f"(case when size({x}) = {_UNROLL_DIM} "
+        f"and size({y}) = {_UNROLL_DIM} "
+        f"then {unrolled} else {hof} end)"
+    )
+
+
+def _sumsq_expr(x: str) -> str:
+    """Sum of squares of an array<float> column (norm²).
+
+    Deliberately the ORIGINAL interpreted fold, not an unrolled chain:
+    every caller stages it once per VECTOR (n evaluations), where the
+    interpreted cost is negligible, and a measured attempt at unrolling
+    it showed the ~0.1s/query driver-side cost of generating the big
+    codegen unit outweighs any executor win at per-vector volume. The
+    per-PAIR dot product is where the unroll pays (see _dot_expr)."""
+    return f"aggregate({x}, 0d, (acc, v) -> acc + cast(v as double) * v)"
+
+
+def norm_expr(x: str) -> str:
+    """sqrt(sum of squares) — the per-vector factor of the cosine
+    denominator, staged ONCE per vector by the pair queries so each
+    candidate pair pays one dot product instead of three folds."""
+    return f"sqrt({_sumsq_expr(x)})"
+
+
 def cos_expr(x: str, y: str) -> str:
     """Rounded cosine between two array<float> columns, built-in SQL only
-    (``zip_with``/``aggregate`` fold — JVM-side, codegen) so DuckDB
-    oracles replicate the value exactly from the same parquet."""
+    so DuckDB oracles replicate the value exactly from the same parquet.
+    Same value as always — the dot/norm folds now take the unrolled
+    codegen fast path at the fixture dimensionality (see _UNROLL_DIM)."""
     return (
-        f"round(aggregate(zip_with({x}, {y}, (x, y) -> "
-        "cast(x as double) * y), "
-        "0d, (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({x}, 0d, (acc, v) -> "
-        "acc + cast(v as double) * v)) * "
-        f" sqrt(aggregate({y}, 0d, (acc, v) -> "
-        "acc + cast(v as double) * v))), 6)"
+        f"round({_dot_expr(x, y)} / "
+        f"(sqrt({_sumsq_expr(x)}) * sqrt({_sumsq_expr(y)})), 6)"
     )
+
+
+def cos_paired_expr(x: str, y: str, xn: str, yn: str) -> str:
+    """Cosine from pre-staged per-vector norms: round(dot / (xn * yn), 6)
+    with xn/yn = norm_expr of each side — bit-identical to
+    :func:`cos_expr` (sqrt of the same sum, multiplied and divided in the
+    same order) while computing each norm once per VECTOR, not once per
+    candidate pair."""
+    return f"round({_dot_expr(x, y)} / ({xn} * {yn}), 6)"
 
 
 COS_EXPR = cos_expr("a_emb", "b_emb")
@@ -54,11 +124,28 @@ def cosine_topk_bruteforce(
     reference-sketch scan (src/sketchy.rs:81) — valid while the collection
     broadcasts; beyond that, use :func:`ann_bucketed`.
     """
-    a, b = _sides(emb)
+    # per-vector norms staged on each side (norm_expr): the n_queries x n
+    # pair projection then evaluates one unrolled dot product per pair
+    # instead of re-folding both norms pairwise — same value, ~3x less
+    # per-pair arithmetic on top of the codegen unroll
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(norm_expr("embedding")).alias("a_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(norm_expr("embedding")).alias("b_norm"),
+    )
     q = a.where(F.col("a_id") < n_queries)
     pairs = q.crossJoin(F.broadcast(b)).where(F.col("a_id") != F.col("b_id"))
     scored = pairs.select(
-        "a_id", "b_id", F.expr(COS_EXPR).alias("cosine")
+        "a_id",
+        "b_id",
+        F.expr(
+            cos_paired_expr("a_emb", "b_emb", "a_norm", "b_norm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     return (
@@ -70,7 +157,9 @@ def cosine_topk_bruteforce(
 
 def sign_bucket_expr(col: str, bits: int) -> str:
     """Sign-LSH bucket key: bit d set iff embedding[d] > 0, d < bits.
-    Axis-aligned hyperplane LSH — deterministic, engine-agnostic."""
+    Axis-aligned hyperplane LSH — deterministic, engine-agnostic.
+    Per-vector (n evaluations): stays the interpreted fold, same
+    reasoning as :func:`_sumsq_expr`."""
     return (
         f"aggregate(sequence(0, {bits - 1}), 0L, "
         f"(acc, d) -> acc + if(element_at({col}, d + 1) > 0, "
@@ -92,21 +181,30 @@ def ann_bucketed(
     bucketed = emb.select(
         "vec_id", "embedding",
         F.expr(sign_bucket_expr("embedding", bits)).alias("bucket"),
+        F.expr(norm_expr("embedding")).alias("norm"),
     )
     a = bucketed.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
         "bucket",
     )
     b = bucketed.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
         "bucket",
     )
     return (
         a.join(b, "bucket")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                cos_paired_expr("a_emb", "b_emb", "a_norm", "b_norm")
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -245,6 +343,10 @@ def ann_multiprobe(
         d_bits, d_probes = ann_params(threshold, n=n)
         bits = d_bits if bits is None else bits
         probes = d_probes if probes is None else probes
+    # per-vector bucket array: kept as the interpreted fold (evaluated n
+    # times — cheap; a measured r6 attempt at unrolling the probes*bits
+    # term array cost ~0.1s/query in driver-side codegen generation for
+    # no executor win at this volume, exactly like _sumsq_expr)
     buckets_expr = (
         f"transform(sequence(0, {probes - 1}), t -> "
         f"aggregate(sequence(0, {bits - 1}), 0L, "
@@ -268,12 +370,29 @@ def ann_multiprobe(
         .select("a_id", "b_id")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    # per-vector norms staged on the attach sides: the verify projection
+    # pays one unrolled dot per candidate pair (same value — see
+    # cos_paired_expr)
+    ea = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(norm_expr("embedding")).alias("a_norm"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(norm_expr("embedding")).alias("b_norm"),
+    )
     return (
         cands.join(ea, "a_id")
         .join(eb, "b_id")
-        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                cos_paired_expr("a_emb", "b_emb", "a_norm", "b_norm")
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
@@ -281,12 +400,29 @@ def ann_multiprobe(
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs) — the
-    embedding-space analogue of the Jaccard verification stage."""
-    a, b = _sides(emb)
+    embedding-space analogue of the Jaccard verification stage.
+    Per-vector norms staged once per side (r6): the O(n²) pair projection
+    evaluates one unrolled dot product per pair, not three folds."""
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.expr(norm_expr("embedding")).alias("a_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.expr(norm_expr("embedding")).alias("b_norm"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.expr(COS_EXPR).alias("cosine"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                cos_paired_expr("a_emb", "b_emb", "a_norm", "b_norm")
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -345,14 +481,12 @@ def ann_ivf(
     # every one of the ~n^1.5 candidate pairs — measured 3x wall on the
     # verify stage. cosine = dot * a_inv * b_inv, the exact expression
     # the DuckDB oracle mirrors (same operand order, rounded at 6).
-    inv = (
-        "(cast(1.0 as double) / sqrt(aggregate({x}, 0d, "
-        "(acc, v) -> acc + cast(v as double) * v)))"
-    )
-    dot = (
-        "aggregate(zip_with({x}, {y}, (p, q) -> "
-        "cast(p as double) * q), 0d, (acc, v) -> acc + v)"
-    )
+    # r6: the sumsq/dot folds take the unrolled codegen fast path at the
+    # fixture dimensionality (bit-identical — see _dot_expr/_sumsq_expr);
+    # the inv-norm structure and every rounding stays exactly as the
+    # oracle mirrors it.
+    inv = "(cast(1.0 as double) / sqrt(" + _sumsq_expr("{x}") + "))"
+    dot = _dot_expr("{x}", "{y}")
     embn = emb.select(
         "vec_id",
         "embedding",
