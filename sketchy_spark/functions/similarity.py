@@ -521,9 +521,26 @@ def ann_ivf(
     # single-core). A user-numbered repartition is exempt from AQE
     # coalescing, so the fan-out spreads across the session's shuffle
     # parallelism (2.1s for the same stage).
-    nparts = int(
+    # Width of the numbered repartition (r6, guide §2: scale-adaptive,
+    # not a session constant): sized from the EXPANSION this exchange
+    # feeds — expected candidate pairs ≈ (n·nprobe)²/(2C) under uniform
+    # occupancy — at ~300k pairs per task, clamped to [2, max(conf,
+    # 2048)]. The session constant (64 here) gave 64 near-empty tasks at
+    # bench scale (~180k total pairs) and would under-split the 10⁹-row
+    # regime; the floor of 2 keeps the anti-collapse property the plan
+    # pin test asserts (AQE cannot coalesce REPARTITION_BY_NUM), the cap
+    # bounds task count. Partitioning only — results are unchanged.
+    nparts_conf = int(
         emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    if n is not None:
+        est_pairs = (n * nprobe) ** 2 / (2 * max(n_cells, 1))
+        nparts = int(
+            min(max(est_pairs // 300_000, 2), max(nparts_conf, 2048))
+        )
+    else:
+        # n unknown (explicit n_cells): keep the session width
+        nparts = nparts_conf
     cells = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
