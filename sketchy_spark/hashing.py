@@ -284,6 +284,92 @@ def batch_shingle_hashes(
     return out, counts
 
 
+def fold_shingle_hashes(
+    contents: list[bytes], k: int, seed: int, consume
+) -> np.ndarray:
+    """Hash every positional shingle of every content in CACHE-RESIDENT
+    groups and hand each doc's positional hash segment to ``consume(i,
+    seg)`` while the group's output buffer is still hot (r6).
+
+    The two-pass form (:func:`batch_shingle_hashes` then a per-doc loop
+    over the returned concat array) writes and re-reads a whole-batch
+    hash buffer (~100 MB at 4096 docs) through DRAM per Arrow batch; at
+    32 concurrent sketch workers that round trip is the contended
+    traffic the host's streaming calibration flags (BENCH/BASELINE.md).
+    Fusing hashing with consumption keeps the per-group buffer
+    (~512 KB — window scratch + hash output) L2-resident: measured 16
+    concurrent kernel processes at 4096 docs each, per-proc wall
+    15-17s (two-pass) -> 2.4-3.3s (fused); identical outputs.
+
+    ``consume(i, seg)``: ``i`` is the doc's index in ``contents``;
+    ``seg`` the positional uint64 hash array (VALID ONLY DURING THE
+    CALL — it aliases the reused group buffer). Zero-length contents get
+    an empty seg. Returns per-doc shingle counts.
+    """
+    counts = np.array(
+        [max(len(c) - k + 1, 1) if len(c) else 0 for c in contents],
+        dtype=np.int64,
+    )
+    empty = np.zeros(0, dtype=np.uint64)
+    if k != 16:
+        # generic width (non-hot path): per-doc matrix hash, same values
+        for i, c in enumerate(contents):
+            if counts[i] == 0:
+                consume(i, empty)
+                continue
+            consume(i, murmur3_x64_128_low(shingle_windows(c, k), seed))
+        return counts
+
+    s = _get_scratch(_CHUNK)
+    if not hasattr(s, "fout") or s.fout.size < s.n:
+        s.fout = np.empty(s.n, dtype=np.uint64)
+    group: list[tuple[int, int, int]] = []  # (doc idx, start, count)
+    filled = 0
+
+    def flush() -> None:
+        _murmur16_into(s, filled, seed, s.fout[:filled])
+        for di, st, c in group:
+            consume(di, s.fout[st : st + c])
+
+    for i, c in enumerate(contents):
+        cnt = int(counts[i])
+        if cnt == 0:
+            # flush pending docs first: consume must fire in doc order
+            if filled:
+                flush()
+                group, filled = [], 0
+            consume(i, empty)
+            continue
+        if cnt > s.n:
+            # oversized doc: chunk it through the window scratch into a
+            # reusable per-doc buffer (positional order preserved); the
+            # buffer exceeds cache by construction, but docs this large
+            # are rare and the group path stays resident
+            if filled:
+                flush()
+                group, filled = [], 0
+            if not hasattr(s, "bigout") or s.bigout.size < cnt:
+                s.bigout = np.empty(cnt, dtype=np.uint64)
+            w = shingle_windows(c, k)
+            woff = 0
+            while woff < cnt:
+                take = min(cnt - woff, s.n)
+                s.win[:take] = w[woff : woff + take]
+                _murmur16_into(s, take, seed, s.bigout[woff : woff + take])
+                woff += take
+            consume(i, s.bigout[:cnt])
+            continue
+        if cnt > s.n - filled:
+            flush()
+            group, filled = [], 0
+        s.win[filled : filled + cnt] = shingle_windows(c, k)
+        group.append((i, filled, cnt))
+        filled += cnt
+    if filled:
+        flush()
+    return counts
+
+
 def bottom_s(distinct_sorted: np.ndarray, s: int) -> np.ndarray:
     """Bottom-s MinHash: s numerically smallest distinct hashes, ascending
     (the reference's sorted-hashes invariant, src/sketchy.rs:414-418)."""
@@ -327,8 +413,18 @@ def oph_minhash(distinct_sorted: np.ndarray, num_perm: int) -> np.ndarray:
     if distinct_sorted.size == 0:
         return sig
     bins = (distinct_sorted >> np.uint64(64 - bits)).astype(np.int64)
-    # sorted input => per-bin min is the first element of each bin run
-    filled, first_idx = np.unique(bins, return_index=True)
+    # sorted input => bins is NON-DECREASING and per-bin min is the first
+    # element of each bin run; run starts come from one O(d) neighbor
+    # compare (r6: np.unique here re-SORTED the already-sorted bins —
+    # the second-largest cost of the per-doc fold after np.unique(seg))
+    if bins.size == 1:
+        first_idx = np.zeros(1, dtype=np.int64)
+    else:
+        change = np.empty(bins.size, dtype=bool)
+        change[0] = True
+        np.not_equal(bins[1:], bins[:-1], out=change[1:])
+        first_idx = np.flatnonzero(change)
+    filled = bins[first_idx]
     sig[filled] = distinct_sorted[first_idx]
     if filled.size < p:
         # rotation densification: empty bin j borrows from the nearest

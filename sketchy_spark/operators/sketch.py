@@ -40,8 +40,8 @@ from pyspark.sql import DataFrame
 
 from sketchy_spark.config import SketchConfig
 from sketchy_spark.hashing import (
-    batch_shingle_hashes,
     bottom_s,
+    fold_shingle_hashes,
     oph_minhash,
     scaled_filter,
     simhash64,
@@ -74,14 +74,15 @@ def _sketch_batches(
             # content arrives as binary (cast JVM-side): Arrow hands the
             # utf-8 bytes straight through — no per-doc re-encode pass
             contents = list(pdf["content"])
-            hashes, counts = batch_shingle_hashes(contents, cfg.k, cfg.seed)
-            offsets = np.zeros(len(counts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
 
             sigs, perms, fps, sims = [], [], [], []
-            for o, c in zip(offsets, counts):
-                seg = hashes[o : o + c]
-                distinct = np.unique(seg)  # sorted ascending (the invariant)
+
+            def fold(_i: int, seg: np.ndarray) -> None:
+                # one doc's positional hashes, handed in while the fused
+                # group buffer is cache-hot (hashing.fold_shingle_hashes,
+                # r6 — the two-pass batch array was the DRAM-contended
+                # traffic at 32 workers)
+                distinct = np.unique(seg)  # sorted ascending (invariant)
                 if with_sig:
                     if cfg.mode == "scaled":
                         sel = scaled_filter(distinct, max_hash)
@@ -101,6 +102,8 @@ def _sketch_batches(
                 if with_fp:
                     fps.append(u64_to_i64(winnow(seg, cfg.winnow_window)))
                 sims.append(simhash64(distinct))
+
+            counts = fold_shingle_hashes(contents, cfg.k, cfg.seed, fold)
 
             out = pdf[_CARRY].copy()
             out["n_shingles"] = counts

@@ -637,6 +637,12 @@ class _MinimaCache:
         b = text.encode("utf-8", "surrogatepass")
         e = (b, _positional_minima(b, cfg))
         cost = len(b) + e[1].nbytes
+        if cost > self.max_bytes:
+            # ADVICE r5: an entry whose cost alone exceeds the budget
+            # must not be cached — inserting it after evicting everything
+            # would hold _bytes > max_bytes for the rest of the
+            # partition, breaking the documented executor-memory bound.
+            return e
         while self._bytes + cost > self.max_bytes and self._d:
             _, (ob, om) = self._d.popitem(last=False)
             self._bytes -= len(ob) + om.nbytes

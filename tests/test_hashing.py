@@ -172,3 +172,82 @@ class TestU64Shift:
         shifted = u64_to_i64(arr)
         assert i64_to_u64(shifted).tolist() == [x, y]
         assert (x < y) == (int(shifted[0]) < int(shifted[1])) or x == y
+
+
+class TestFoldShingleHashes:
+    """r6: the fused cache-resident fold must hand every doc the same
+    positional segment, in doc order, as the two-pass batch form."""
+
+    def _collect(self, contents, k, seed):
+        from sketchy_spark.hashing import fold_shingle_hashes
+
+        order, segs = [], []
+
+        def consume(i, seg):
+            order.append(i)
+            segs.append(seg.copy())  # seg aliases the reused buffer
+
+        counts = fold_shingle_hashes(contents, k, seed, consume)
+        return counts, order, segs
+
+    @pytest.mark.parametrize("k,seed", [(16, 0), (16, 42), (8, 0)])
+    def test_matches_two_pass_batch(self, k, seed):
+        rng = np.random.RandomState(7)
+        contents = [
+            bytes(rng.randint(0, 256, n, dtype=np.uint8).tobytes())
+            for n in (0, 2, 15, 16, 17, 300, 5000)
+        ]
+        hashes, counts = batch_shingle_hashes(contents, k, seed)
+        c2, order, segs = self._collect(contents, k, seed)
+        assert counts.tolist() == c2.tolist()
+        assert order == list(range(len(contents)))  # strict doc order
+        off = 0
+        for cnt, seg in zip(counts, segs):
+            assert np.array_equal(hashes[off : off + cnt], seg)
+            off += cnt
+
+    def test_oversized_doc_chunks_through_scratch(self):
+        # one doc far above the group-buffer capacity, surrounded by
+        # small docs: order and values must still match the batch form
+        big = b"q" * 300_000
+        contents = [b"aaaa" * 10, big, b"", b"tail tail tail tail"]
+        hashes, counts = batch_shingle_hashes(contents, 16, 0)
+        c2, order, segs = self._collect(contents, 16, 0)
+        assert counts.tolist() == c2.tolist()
+        assert order == [0, 1, 2, 3]
+        off = 0
+        for cnt, seg in zip(counts, segs):
+            assert np.array_equal(hashes[off : off + cnt], seg)
+            off += cnt
+
+
+class TestOphSortedFastPath:
+    """r6: the run-start detection over NON-DECREASING bins (replacing a
+    second sort) must reproduce oph_minhash's documented behavior."""
+
+    @given(
+        st.lists(st.integers(0, (1 << 64) - 1), max_size=400),
+        st.sampled_from([16, 128]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_unique_based_reference(self, vals, p):
+        from sketchy_spark.hashing import oph_minhash
+
+        distinct = np.unique(np.array(vals, dtype=np.uint64))
+        sig = oph_minhash(distinct, p)
+        # reference form (pre-r6): np.unique over the bin keys
+        bits = p.bit_length() - 1
+        ref = np.full(p, np.iinfo(np.uint64).max, dtype=np.uint64)
+        if distinct.size:
+            bins = (distinct >> np.uint64(64 - bits)).astype(np.int64)
+            filled, first_idx = np.unique(bins, return_index=True)
+            ref[filled] = distinct[first_idx]
+            if filled.size < p:
+                has = np.zeros(p, dtype=bool)
+                has[filled] = True
+                idx = np.where(has, np.arange(p), -1)
+                np.maximum.accumulate(idx, out=idx)
+                if idx[0] == -1:
+                    idx[idx == -1] = idx[-1]
+                ref = ref[idx]
+        assert sig.tolist() == ref.tolist()

@@ -281,6 +281,23 @@ def test_minima_cache_byte_bound_evicts():
     assert cache.get(fid, "ignored-on-hit", CFG) is before
 
 
+def test_minima_cache_refuses_oversized_entry():
+    """ADVICE r5: an entry whose cost alone exceeds max_bytes is computed
+    and returned but NOT cached — a single file larger than the budget
+    must not pin _bytes above the documented bound for the rest of the
+    partition (and must not evict the whole working set either)."""
+    from sketchy_spark.operators.verify import _MinimaCache
+
+    cache = _MinimaCache(max_bytes=1_000_000)
+    cache.get("small", "x" * 50_000, CFG)
+    held = dict(cache._d)
+    b, minima = cache.get("huge", "y" * 2_000_000, CFG)  # > max_bytes
+    assert len(b) == 2_000_000 and minima.size > 0  # still computed
+    assert "huge" not in cache._d  # not cached
+    assert dict(cache._d) == held  # working set untouched
+    assert cache._bytes <= cache.max_bytes
+
+
 def test_release_cascade_caches_reclaims_storage(spark):
     """VERDICT r4 #8: ad-hoc cascades (no ``persisted`` list) park their
     required persists in _CASCADE_CACHES; release_cascade_caches() must
