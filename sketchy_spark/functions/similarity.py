@@ -525,11 +525,17 @@ def ann_ivf(
     # not a session constant): sized from the EXPANSION this exchange
     # feeds — expected candidate pairs ≈ (n·nprobe)²/(2C) under uniform
     # occupancy — at ~300k pairs per task, clamped to [2, max(conf,
-    # 2048)]. The session constant (64 here) gave 64 near-empty tasks at
-    # bench scale (~180k total pairs) and would under-split the 10⁹-row
-    # regime; the floor of 2 keeps the anti-collapse property the plan
-    # pin test asserts (AQE cannot coalesce REPARTITION_BY_NUM), the cap
-    # bounds task count. Partitioning only — results are unchanged.
+    # 2048)]. Measured caveat (kept honest): AQE's stage preparation
+    # FLOORS a REPARTITION_BY_NUM width at spark.sql.shuffle.partitions
+    # (requested 2/8 executed as conf; 128 > conf honored — verified on
+    # the executed plan), so below conf this derivation is a no-op and
+    # local-bench timings are unchanged; it binds exactly where it
+    # matters — when the expansion demands MORE width than the session
+    # constant (50k vectors already exceeds a 64-part session; the
+    # 10⁹-row regime vastly so). The REPARTITION_BY_NUM origin itself
+    # (AQE cannot coalesce it to one task) remains the anti-collapse
+    # property the plan pin test asserts. Partitioning only — results
+    # are unchanged.
     nparts_conf = int(
         emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
