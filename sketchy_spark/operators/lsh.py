@@ -180,7 +180,20 @@ def candidate_pairs_fid(
         # is flagged non-deterministic, and broadcast subtrees were
         # measured to re-execute: six full scans per run before this
         # design).
-        bands = bands.persist()
+        #
+        # r6 (guide §2.4 — share one exchange): the cache is PARTITIONED
+        # BY band_key, so BOTH aggregations over it — the hot-count
+        # groupBy(band_key) here and the groups
+        # groupBy(band_key, salt) below — satisfy their distribution
+        # from the cached partitioning and run exchange-free
+        # (HashPartitioning(band_key) clusters every (band_key, salt)
+        # group too). One shuffle of the 32x-exploded band table
+        # replaces two — the largest recurring shuffle in the pipeline
+        # at scale. Hot keys land whole in one partition, but band rows
+        # are 16 bytes and the skew cap bounds any key's group work
+        # downstream. Measured at 100k files (warm, interleaved):
+        # candidate phase 4.0s -> 3.8s; candidate set identical.
+        bands = bands.repartition("band_key").persist()
         persisted.append(bands)
         # Hot keys (> cap members) with their counts, COLLECTED: the hot
         # set is boilerplate bands — typically tiny (tens to thousands of

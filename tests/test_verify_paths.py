@@ -335,3 +335,32 @@ def test_release_cascade_caches_reclaims_storage(spark):
     assert len(V._CASCADE_CACHES) == 0
     sigs.unpersist(blocking=True)
     assert n_persistent() <= base_rdds
+
+
+def test_candidate_sets_agree_across_eager_and_lazy_paths(spark):
+    """r6: the eager path's band cache is now PARTITIONED by band_key
+    (one shuffle feeds both the hot-count and the groups aggregation);
+    the candidate SET must stay exactly the lazy broadcast path's,
+    including salted star edges for over-cap keys."""
+    from sketchy_spark.corpus import corpus_df
+    from sketchy_spark.operators.lsh import candidate_pairs_fid, with_fid
+    from sketchy_spark.operators.sketch import sketch_files
+
+    cfg = SketchConfig(band_skew_cap=4)  # boilerplate rows go over cap
+    sigs = with_fid(
+        sketch_files(corpus_df(spark, 400), cfg, with_sig=False)
+    ).cache()
+    sigs.count()
+    internal = []
+    eager = {
+        (r.a_fid, r.b_fid)
+        for r in candidate_pairs_fid(sigs, cfg, persisted=internal).collect()
+    }
+    lazy = {
+        (r.a_fid, r.b_fid)
+        for r in candidate_pairs_fid(sigs, cfg).collect()
+    }
+    assert eager == lazy and len(eager) > 0
+    for df in internal:
+        df.unpersist()
+    sigs.unpersist()
