@@ -191,9 +191,19 @@ def candidate_pairs_fid(
         # replaces two — the largest recurring shuffle in the pipeline
         # at scale. Hot keys land whole in one partition, but band rows
         # are 16 bytes and the skew cap bounds any key's group work
-        # downstream. Measured at 100k files (warm, interleaved):
-        # candidate phase 4.0s -> 3.8s; candidate set identical.
-        bands = bands.repartition("band_key").persist()
+        # downstream. NUMBERED width (session shuffle partitions):
+        # a by-column repartition is AQE-coalescible by INPUT bytes, and
+        # the 16-byte band rows coalesce to a handful of partitions —
+        # which then caps the parallelism of the pair-explode fan-out
+        # that reads the cache (the same tiny-input/large-output shape
+        # ann_ivf's numbered repartition defends against). Measured at
+        # 100k files (warm, interleaved): candidate phase 4.0-5.7s
+        # (round-start) -> 3.8s; pair stage 1.2-2.2s -> 0.85s; candidate
+        # set identical.
+        nparts = int(
+            bands.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        bands = bands.repartition(nparts, "band_key").persist()
         persisted.append(bands)
         # Hot keys (> cap members) with their counts, COLLECTED: the hot
         # set is boilerplate bands — typically tiny (tens to thousands of
