@@ -32,11 +32,19 @@ class _StoreBase:
     def get_or_compute(
         self, spark: SparkSession, stage: str, compute
     ) -> tuple[DataFrame, bool]:
-        """Returns (df, resumed): resumed=True when read from checkpoint."""
+        """Returns (df, resumed): resumed=True when read from checkpoint.
+
+        Reads resolve to the store's OWN session when it has one (a
+        catalog-owning backend can only serve its catalog's tables);
+        ``spark`` serves session-agnostic backends like the parquet
+        shim. Keeping the resolution here means both backends see the
+        same contract (ADVICE r5) and read_stage can refuse a foreign
+        session loudly instead of silently substituting its own."""
+        rs = getattr(self, "spark", None) or spark
         if self.is_complete(stage):
-            return self.read_stage(spark, stage), True
+            return self.read_stage(rs, stage), True
         self.write_stage(stage, compute())
-        return self.read_stage(spark, stage), False
+        return self.read_stage(rs, stage), False
 
 
 class CheckpointStore(_StoreBase):
@@ -295,8 +303,15 @@ class IcebergCheckpointStore(_StoreBase):
         w.createOrReplace()
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        # reads through the store's own session (== the caller's in
-        # production; the recorder in the no-jar contract tests)
+        # Reads go through the store's own session — the one whose
+        # catalog holds the tables. The parquet shim honors the
+        # parameter, so a caller handing a DIFFERENT session here would
+        # silently diverge between backends (ADVICE r5): refuse loudly.
+        if spark is not None and spark is not self.spark:
+            raise ValueError(
+                "IcebergCheckpointStore serves reads through the session "
+                "that owns its catalog; pass that session (or None)"
+            )
         return self.spark.read.table(self._ident(stage))
 
     def invalidate_from(self, stages: list[str], failed: str) -> None:

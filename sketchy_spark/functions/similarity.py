@@ -227,6 +227,7 @@ def ann_params(
     max_probes: int = 10,
     n: int | None = None,
     avg_bucket: int = 4,
+    dim: int | None = None,
 ) -> tuple[int, int]:
     """Derive (bits, probes) for :func:`ann_multiprobe` from the target
     cosine threshold (VERDICT r4 #1 — the docstring math, now a code
@@ -258,6 +259,22 @@ def ann_params(
     The ``max_probes`` budget governs only the density-free search; the
     density criterion overrides it by design and is reported honestly in
     the returned probe count.
+
+    ``dim`` (embedding width, when known) adds the PROBE-DIVERSITY cap
+    the 1-(1-q)^T recall model silently assumes away: probe t reads the
+    dim window starting at (t*bits) mod dim, so offsets repeat with
+    period dim/gcd(bits, dim) and any probe beyond that period is an
+    EXACT duplicate of an earlier one — it adds cost but zero recall.
+    With ``dim``, a (bits, probes) config is feasible only if probes <=
+    dim/gcd(bits, dim) distinct windows; the density path walks bits
+    upward past the occupancy minimum until the required probes fit the
+    window count (sparser buckets are always density-safe), and raises
+    ValueError (-> IVF) when no width within 62 bits can reach the
+    target recall on truly-distinct probes — honest refusal instead of
+    a config whose real recall is 1-(1-q)^windows, far below target.
+    Without ``dim`` the cap is off (the caller sees the model as
+    before); :func:`ann_multiprobe`'s derivation path always supplies
+    the measured width.
     """
     import math
 
@@ -274,11 +291,20 @@ def ann_params(
             math.log(1.0 - target_recall) / math.log(1.0 - q)
         )
 
+    def windows(bits: int) -> int | None:
+        """Distinct rotated-offset windows at this width (None = no cap)."""
+        if dim is None or dim <= 0:
+            return None
+        return dim // math.gcd(bits, dim)
+
     best: tuple[int, int] | None = None
     for bits in range(1, 17):
         probes = probes_for(bits)
         if probes is None:
             break
+        w = windows(bits)
+        if w is not None and probes > w:
+            continue  # duplicate probes: config cannot deliver its recall
         if probes <= max_probes:
             best = (bits, probes)  # keep widening while feasible
     if best is None:
@@ -291,14 +317,32 @@ def ann_params(
             best[0], math.ceil(math.log2(max(n / avg_bucket, 1.0)))
         )
         density_bits = min(density_bits, 62)
-        probes = probes_for(density_bits)
-        if probes is None:
+        # With a dim cap, widths at/above the occupancy minimum are all
+        # density-safe — walk upward to the first whose required probes
+        # fit its distinct-window count (required probes grow ~(1/p) per
+        # bit while windows never exceed dim, so the walk terminates).
+        chosen: tuple[int, int] | None = None
+        for bits in range(density_bits, 63):
+            probes = probes_for(bits)
+            if probes is None:
+                break
+            w = windows(bits)
+            if w is not None and probes > w:
+                continue
+            chosen = (bits, probes)
+            break
+        if chosen is None:
             raise ValueError(
                 f"threshold {threshold} cannot reach recall "
-                f"{target_recall} at the {density_bits}-bit bucket width "
-                f"n={n} requires; use IVF"
+                f"{target_recall} at the bucket widths n={n} requires"
+                + (
+                    f" with only {dim}-dim probe diversity"
+                    if dim is not None
+                    else ""
+                )
+                + "; use IVF"
             )
-        best = (density_bits, probes)
+        best = chosen
     return best
 
 
@@ -338,9 +382,17 @@ def ann_multiprobe(
     # sparse config; the fan-out/dedup economics are unchanged because
     # the join key stays 12 bytes and distinct still collapses the OR).
     if bits is None or probes is None:
+        # ONE aggregate job yields both derivation inputs: n (density
+        # criterion) and the embedding width (probe-diversity cap —
+        # min() so ragged widths cap conservatively). Same single-job
+        # cost as the count() this replaces.
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).alias("dim"),
+        ).first()
         if n is None:
-            n = emb.count()  # one scan; feeds the density criterion
-        d_bits, d_probes = ann_params(threshold, n=n)
+            n = row["n"]  # one scan; feeds the density criterion
+        d_bits, d_probes = ann_params(threshold, n=n, dim=row["dim"])
         bits = d_bits if bits is None else bits
         probes = d_probes if probes is None else probes
     # per-vector bucket array: kept as the interpreted fold (evaluated n

@@ -125,6 +125,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return df
 
 
+# The off-round-checkpoint plan tree grows ~4x per unchecked round (see
+# _distributed_components docstring) — clamp the public knob so the
+# exponential growth can't be triggered through it (ADVICE r5).
+MAX_CHECK_EVERY = 4
+
+
 def _distributed_components(
     edges: DataFrame, max_iter: int, check_every: int = 2
 ) -> DataFrame:
@@ -143,10 +149,15 @@ def _distributed_components(
     Convergence is checked every ``check_every`` rounds against the last
     snapshot (each check is a driver-blocking count — r3 paid one per
     round). ``localCheckpoint`` on CHECK rounds only truncates the
-    iterative-join lineage (SURVEY §4.3) at half the materializations —
-    between checks the lineage is a bounded <= check_every * 3 joins
-    (VERDICT r4 minor #3).
+    iterative-join lineage (SURVEY §4.3) at half the materializations.
+    Between checks the UNMATERIALIZED plan tree grows ~4x per round —
+    each iteration references the previous labels plan from neigh+prop
+    and prop+jump (ADVICE r5), so lineage is ~4^check_every plan nodes,
+    not linear: ``check_every`` is therefore CLAMPED to
+    ``MAX_CHECK_EVERY`` (4^4 = a few hundred nodes is fine; 4^10 would
+    melt the planner long before the executors saw work).
     """
+    check_every = max(1, min(check_every, MAX_CHECK_EVERY))
     sym = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(
@@ -191,9 +202,11 @@ def _distributed_components(
         # Materialize only on check rounds (VERDICT r4 minor #3): the
         # eager localCheckpoint exists to truncate the iterative-join
         # lineage, but only the checked snapshot must be stable — between
-        # checks the lineage is <= check_every * 3 joins, well inside
-        # planner limits, so skipping the off-round checkpoint halves the
-        # materializations per converged component at identical rounds.
+        # checks the plan tree grows ~4x per round (neigh+prop and
+        # prop+jump each reference the previous labels plan), bounded by
+        # the MAX_CHECK_EVERY clamp above, so skipping the off-round
+        # checkpoint halves the materializations per converged component
+        # at identical rounds while staying inside planner limits.
         if check_round:
             labels = labels.localCheckpoint()
             changed = (

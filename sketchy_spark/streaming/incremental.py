@@ -178,7 +178,10 @@ class IncrementalDedup:
         )
 
     def _union(self, stages: list[str]) -> DataFrame | None:
-        dfs = [self.store.read_stage(self.spark, s) for s in stages]
+        # a catalog-owning store serves reads through its own session
+        # (checkpoint.py get_or_compute has the same resolution)
+        rs = getattr(self.store, "spark", None) or self.spark
+        dfs = [self.store.read_stage(rs, s) for s in stages]
         if not dfs:
             return None
         out = dfs[0]

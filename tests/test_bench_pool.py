@@ -74,17 +74,30 @@ def test_stats_fixed_window():
 
 def test_fingerprint_covers_spark_entry(tmp_path, monkeypatch):
     """ADVICE r4 (medium): __spark_entry__.py is on the timed path, so
-    editing it must change the fingerprint and reset the pool."""
+    editing it must change the fingerprint and reset the pool.
+
+    The probe edit happens on a COPY of the source tree (ADVICE r5): the
+    old in-place version left the real working tree dirty — and the live
+    bench pool reset — if the process died between write and restore.
+    _code_fingerprint resolves its root from the module global
+    ``__file__`` at call time, so pointing bench.__file__ at the copy
+    retargets it without touching the frozen function."""
     import pathlib
+    import shutil
 
     import bench
 
+    root = pathlib.Path(bench.__file__).resolve().parent
+    for rel in ("bench.py", "__spark_entry__.py"):
+        shutil.copy2(root / rel, tmp_path / rel)
+    shutil.copytree(
+        root / "sketchy_spark",
+        tmp_path / "sketchy_spark",
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
     fp_before = bench._code_fingerprint()
-    entry = pathlib.Path(bench.__file__).parent / "__spark_entry__.py"
-    orig = entry.read_bytes()
-    try:
-        entry.write_bytes(orig + b"\n# fingerprint probe\n")
-        assert bench._code_fingerprint() != fp_before
-    finally:
-        entry.write_bytes(orig)
-    assert bench._code_fingerprint() == fp_before
+    entry = tmp_path / "__spark_entry__.py"
+    entry.write_bytes(entry.read_bytes() + b"\n# fingerprint probe\n")
+    assert bench._code_fingerprint() != fp_before

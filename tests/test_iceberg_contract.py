@@ -266,6 +266,19 @@ def test_invalidate_from_drops_with_purge(fake_store, spark):
     ]
 
 
+def test_read_stage_refuses_foreign_session(fake_store, spark):
+    """ADVICE r5: read_stage used to accept any session and silently
+    read through self.spark anyway — the parquet shim honors the
+    parameter, so the backends could diverge. A foreign session must
+    fail loudly; the store's own session (or None) serves reads."""
+    store, fs = fake_store
+    store.write_stage("signatures", _df(spark, [("a", "b")]))
+    assert store.read_stage(store.spark, "signatures") is not None
+    assert store.read_stage(None, "signatures") is not None
+    with pytest.raises(ValueError, match="owns its catalog"):
+        store.read_stage(spark, "signatures")  # the real session, not fs
+
+
 def test_pipeline_checkpoint_resume_on_iceberg_path(fake_store, spark):
     """The shim's flagship resume test replayed on the Iceberg code path:
     first run computes all 4 stages, a second run resumes all 4, and the

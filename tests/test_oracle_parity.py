@@ -131,6 +131,77 @@ def test_ann_params_derivation():
     assert small[0] <= big[0] <= huge[0]
 
 
+def test_ann_params_dim_caps_probe_diversity():
+    """ADVICE r5 (medium): probe t reads the window starting at
+    (t*bits) mod dim, so only dim/gcd(bits, dim) offsets exist — any
+    probe past that period duplicates an earlier one exactly and the
+    1-(1-q)^T recall model overstates recall. With ``dim``, every
+    returned config must fit its distinct-window budget; unreachable
+    targets raise (-> IVF) instead of silently shipping a config whose
+    real recall is a fraction of the target."""
+    import math
+
+    from sketchy_spark.functions import similarity as sim
+
+    # fixture-scale configs are diversity-safe: dim changes nothing
+    assert sim.ann_params(0.9, dim=64) == (10, 10)
+    assert sim.ann_params(0.45, max_probes=12, dim=64) == (4, 12)
+    assert sim.ann_params(0.9, n=50_000, dim=64) == sim.ann_params(
+        0.9, n=50_000
+    )
+    # n=262k: the uncapped density walk lands on 16 bits, whose offsets
+    # repeat after 64/gcd(16,64) = 4 windows — far under the ~27 probes
+    # the recall target needs (real recall ~0.29). The cap must walk to
+    # a width whose required probes fit its window count.
+    unc_bits, unc_probes = sim.ann_params(0.9, n=262_144)
+    assert unc_probes > 64 // math.gcd(unc_bits, 64)  # the silent breakage
+    bits, probes = sim.ann_params(0.9, n=262_144, dim=64)
+    assert probes <= 64 // math.gcd(bits, 64)  # every probe distinct
+    assert bits >= unc_bits  # density criterion still satisfied
+    # n=1e9 at 64 dims: no width under 62 bits offers enough distinct
+    # windows for the ~178+ probes the target needs — honest refusal
+    with pytest.raises(ValueError, match="IVF"):
+        sim.ann_params(0.9, n=1_000_000_000, dim=64)
+    # dim omitted: prior behavior bit-for-bit (direct callers, oracle)
+    assert sim.ann_params(0.9, n=1_000_000_000)[0] == 28
+
+
+def test_ann_multiprobe_derivation_reads_dim(spark):
+    """The derivation path must feed the MEASURED embedding width into
+    ann_params' diversity cap (one fused agg job: n + dim). On 8-dim
+    data no bucket width at the required density offers enough distinct
+    probe windows for 0.9 recall — the derivation must refuse (-> IVF)
+    instead of shipping duplicate probes; on the 64-dim shape every
+    fixture uses, the derived config is the same (10, 10) as before."""
+    import pyspark.sql.functions as F
+
+    from sketchy_spark.functions import similarity as sim
+
+    def synth(n, d):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {d - 1}), d -> "
+                "cast(pmod(xxhash64(id, d), 200) as float) / 100.0 - 1.0)"
+            ).alias("embedding"),
+        )
+
+    # n=4096 forces density_bits >= 10, and no width >= 10 offers the
+    # required probes within 8 dims' distinct windows (max 8)
+    with pytest.raises(ValueError, match="IVF"):
+        sim.ann_multiprobe(synth(4096, 8), threshold=0.9)
+    # small-n 8-dim derivations stay feasible: density doesn't bind and
+    # the capped search returns a config whose probes are all distinct
+    import math
+
+    bits, probes = sim.ann_params(0.9, n=40, dim=8)
+    assert probes <= 8 // math.gcd(bits, 8)
+    # 64-dim: derivation succeeds and executes end-to-end
+    out = sim.ann_multiprobe(synth(200, 64), threshold=0.9)
+    assert out.columns == ["a_id", "b_id", "cosine"]
+    out.collect()
+
+
 def test_ann_multiprobe_sparse_default_recall(spark):
     """VERDICT r4 #1 done-criterion: the DEFAULT ann_multiprobe call
     (threshold 0.9, bits/probes derived -> 1024-way buckets) reaches
