@@ -232,6 +232,13 @@ def assign_clusters(
     """All files -> cluster assignment; files in no edge are singleton
     clusters labeled by their own file_id.
 
+    Public invariant (VERDICT r5 #8): the output is a PARTITION of the
+    input — every distinct input file_id appears in exactly one row
+    (the left join keeps every file; coalesce labels edge-less files by
+    themselves), so consumers may group by cluster_id without an
+    existence check. Asserted by
+    tests/test_pipeline_e2e.py::test_every_file_assigned_exactly_once.
+
     ``n_edges``: already-known edge count (e.g. summed from checkpoint
     manifests) — skips the 'auto' strategy's own count() action."""
     cc = connected_components(
@@ -256,7 +263,9 @@ def assign_clusters_fid(
     shuffle rows); the string cluster label — the minimum-fid member's
     file_id — attaches afterwards via one broadcast-size join per root.
     Output contract matches :func:`assign_clusters`:
-    (file_id, cluster_id) with singletons labeled by their own file_id.
+    (file_id, cluster_id) with singletons labeled by their own file_id,
+    and the same partition invariant — every distinct input file_id in
+    exactly one output row.
 
     ``n_edges``: already-known edge count (skips the strategy count).
     The pipeline deliberately does NOT pass it: its edges frame is

@@ -91,9 +91,29 @@ def test_sha256_invariant_through_pipeline(result):
 
 
 def test_every_file_assigned_exactly_once(result):
+    """Public partition invariant (VERDICT r5 #8, stated in the
+    assign_clusters docstrings): every distinct input file_id appears in
+    exactly one clusters row, and a file in NO edge is a singleton
+    cluster labeled by its own file_id."""
     n_total = result.clusters.count()
     n_distinct = result.clusters.select("file_id").distinct().count()
     assert n_total == N and n_distinct == N
+    # edge-less files label themselves: any file absent from the edge
+    # set must have cluster_id == file_id
+    edge_members = (
+        result.edges.selectExpr("a_fid as fid")
+        .union(result.edges.selectExpr("b_fid as fid"))
+        .distinct()
+    )
+    mislabeled_singletons = (
+        result.clusters.join(
+            result.signatures.select("file_id", "fid"), "file_id"
+        )
+        .join(edge_members, "fid", "left_anti")
+        .where(F.col("cluster_id") != F.col("file_id"))
+        .count()
+    )
+    assert mislabeled_singletons == 0
 
 
 def test_verified_pairs_have_high_jaccard(result):
