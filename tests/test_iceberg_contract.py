@@ -266,6 +266,61 @@ def test_invalidate_from_drops_with_purge(fake_store, spark):
     ]
 
 
+def test_concurrent_writers_race_atomically(fake_store, spark):
+    """VERDICT r5 #6 — the one resume scenario the suite didn't cover:
+    two stores racing the same stage. Iceberg REPLACE TABLE semantics
+    make the race safe: each commit is all-or-nothing (data + builder
+    properties together, prior properties discarded), so the second
+    committer wins WHOLLY — never B's data under A's marker — and a
+    writer crashing before its commit leaves the winner untouched. A
+    racer at a different config_hash wins the table but cannot be
+    resumed from (is_complete checks the hash), failing loudly at
+    resume instead of mixing runs."""
+    store_a, fs = fake_store
+    store_b = FakeBackedStore(fs, "ice", "sketchy_ckpt", CFG.config_hash)
+    ident = "ice.sketchy_ckpt.ckpt_edges"
+
+    store_a.write_stage("edges", _df(spark, [("a1", "a2")]))
+    store_b.write_stage("edges", _df(spark, [("b1", "b2"), ("b3", "b4")]))
+
+    # the recorder holds exactly two atomic commits on the ident — each
+    # carrying the FULL property set in the createOrReplace itself (the
+    # fake raises on any separate ALTER) — plus the idempotent
+    # namespace DDL from each store's constructor, nothing else
+    commits = [t for t in fs.transcript if t.startswith("CREATE_OR_REPLACE")]
+    expect = (
+        f"CREATE_OR_REPLACE {ident} PROPS ['sketchy.config_hash', "
+        "'sketchy.meta', 'sketchy.stage', 'sketchy.status']"
+    )
+    assert commits == [expect, expect]
+    assert (
+        fs.transcript.count("CREATE NAMESPACE IF NOT EXISTS ice.sketchy_ckpt")
+        == 2
+    )
+
+    # last writer wins wholly: B's data AND B's properties
+    assert fs.cat.tables[ident]["props"]["sketchy.status"] == "complete"
+    assert store_a.is_complete("edges") and store_b.is_complete("edges")
+    rows = {tuple(r) for r in store_a.read_stage(None, "edges").collect()}
+    assert rows == {("b1", "b2"), ("b3", "b4")}
+
+    # a loser crashing BEFORE its commit cannot disturb the winner
+    store_a.crash_next_commit = True
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store_a.write_stage("edges", _df(spark, [("late", "loser")]))
+    rows = {tuple(r) for r in store_b.read_stage(None, "edges").collect()}
+    assert rows == {("b1", "b2"), ("b3", "b4")}
+
+    # a racer from a DIFFERENT run (other config_hash) takes the table,
+    # but neither original store will resume from it — the hash check
+    # turns the silent-mix hazard into a recompute
+    store_c = FakeBackedStore(fs, "ice", "sketchy_ckpt", "otherhash")
+    store_c.write_stage("edges", _df(spark, [("c1", "c2")]))
+    assert store_c.is_complete("edges")
+    assert not store_a.is_complete("edges")
+    assert not store_b.is_complete("edges")
+
+
 def test_read_stage_refuses_foreign_session(fake_store, spark):
     """ADVICE r5: read_stage used to accept any session and silently
     read through self.spark anyway — the parquet shim honors the
